@@ -1,0 +1,52 @@
+"""Model configuration for the TabICA in-context tabular transformer.
+
+TabICA ("Tabular In-Context Attention") is this framework's from-scratch,
+TPU-native replacement for the external PyTorch TabPFNv2 package that the
+reference depends on (reference: pyproject.toml:15 pins `tabpfn 2.2.1`;
+invoked at npe_pfn.py:140-146). The reference treats that model as an opaque
+`fit(X, y)` + `predict(X, output_type="full")` black box; here the model is a
+pure function of (params, context, query) so the whole autoregressive
+sampling loop can live under one `jax.jit`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class TabICAConfig:
+    """Hyperparameters of the two-axis in-context tabular transformer.
+
+    The architecture follows the TabPFNv2 *scheme* (per-cell tokens, attention
+    across the feature axis and across the row axis, piecewise-constant "bar
+    distribution" regression head) but is an original design sized to be
+    pretrained from scratch on synthetic prior tasks on a single TPU chip.
+    """
+
+    # Width of every cell token.
+    d_model: int = 128
+    # Attention heads (shared count for feature-axis and row-axis attention).
+    num_heads: int = 4
+    # Transformer blocks; each block = feature-attn + row-attn + MLP.
+    num_layers: int = 6
+    # MLP hidden expansion factor.
+    mlp_ratio: int = 4
+    # Maximum number of input feature columns the model is trained for.
+    # Inference-time inputs are padded/masked to this width.
+    max_features: int = 32
+    # Number of buckets of the bar-distribution regression head.
+    num_bars: int = 256
+    # Numerical range (in context-normalized target units) covered by the
+    # finite bar borders; the two edge buckets carry half-normal tails.
+    bar_range: float = 6.0
+    # Dropout is intentionally 0: the model is used frozen at inference and
+    # pretraining uses fresh synthetic data every step (no overfitting risk).
+    dropout: float = 0.0
+    # Compute dtype for matmuls ("bfloat16" on TPU, "float32" for tests).
+    dtype: str = "bfloat16"
+
+    @property
+    def head_dim(self) -> int:
+        assert self.d_model % self.num_heads == 0
+        return self.d_model // self.num_heads

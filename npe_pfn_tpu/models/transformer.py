@@ -1,0 +1,329 @@
+"""TabICA: two-axis in-context tabular transformer (pure-functional JAX).
+
+TPU-native replacement for the external PyTorch TabPFNv2 transformer the
+reference calls through ``TabPFNRegressor.fit/predict`` (reference:
+npe_pfn.py:48, 140-146). Design (TabPFNv2 *scheme*, original implementation):
+
+- every table cell is a token of width ``d_model``; a row is ``F`` feature
+  cells plus one target cell;
+- each block runs (a) attention across the feature axis within each row,
+  (b) attention across the row axis within each column, (c) an MLP;
+- rows are a *set*: no positional encoding on the row axis; context rows
+  attend to context rows, query rows attend only to context rows (query rows
+  are mutually independent — required so posterior samples for different
+  query points cannot interact);
+- column identity is structural (row attention is per-column), so the model
+  is exactly permutation-invariant over feature columns — no feature-shuffle
+  ensembling is needed, unlike TabPFN's preprocessing ensemble;
+- the regression readout maps the query row's target-cell state to
+  bar-distribution logits (see bar_distribution.py).
+
+Why pure-functional instead of flax modules: the sampler needs an
+encode/decode split (context states cached once per autoregressive dimension,
+query rows streamed in chunks against that cache — the "context reuse across
+dims" performance lever), per-layer remat for training, and scan-over-layers
+for compile time. All three are trivial with an explicit params pytree.
+
+Shapes are static everywhere: inactive feature columns and padded context
+rows are masked, never sliced, so one compiled executable serves every step
+of the autoregressive sampling scan.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import TabICAConfig
+
+Params = Dict[str, Any]
+_NEG_INF = -1e9
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def init_params(rng: jax.Array, cfg: TabICAConfig) -> Params:
+    """GPT-2-style init; block params are stacked along a leading layer axis
+    so the forward pass can ``lax.scan`` over layers."""
+    d, h, hd, l = cfg.d_model, cfg.num_heads, cfg.head_dim, cfg.num_layers
+    hid = d * cfg.mlp_ratio
+    keys = iter(jax.random.split(rng, 32))
+    nrm = lambda k, shape, s=0.02: (s * jax.random.normal(k, shape)).astype(jnp.float32)
+    # Residual-output projections scaled down by sqrt(2 * num_sublayers).
+    out_scale = 0.02 / math.sqrt(2.0 * 3 * l)
+
+    def attn_params():
+        return {
+            "wq": nrm(next(keys), (l, d, h, hd)),
+            "wk": nrm(next(keys), (l, d, h, hd)),
+            "wv": nrm(next(keys), (l, d, h, hd)),
+            "wo": nrm(next(keys), (l, h, hd, d), out_scale),
+            "bo": jnp.zeros((l, d)),
+        }
+
+    ln = lambda: {"scale": jnp.ones((l, d)), "bias": jnp.zeros((l, d))}
+    params = {
+        "embed": {
+            "w_feat": nrm(next(keys), (d,), 1.0),
+            "b_feat": jnp.zeros((d,)),
+            "w_y": nrm(next(keys), (d,), 1.0),
+            "b_y": jnp.zeros((d,)),
+            "y_missing": nrm(next(keys), (d,), 1.0),
+        },
+        "blocks": {
+            "ln_feat": ln(),
+            "feat_attn": attn_params(),
+            "ln_row": ln(),
+            "row_attn": attn_params(),
+            "ln_mlp": ln(),
+            "mlp": {
+                "w1": nrm(next(keys), (l, d, hid)),
+                "b1": jnp.zeros((l, hid)),
+                "w2": nrm(next(keys), (l, hid, d), out_scale),
+                "b2": jnp.zeros((l, d)),
+            },
+        },
+        "head": {
+            "ln": {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))},
+            "w1": nrm(next(keys), (d, 2 * d)),
+            "b1": jnp.zeros((2 * d,)),
+            "w2": nrm(next(keys), (2 * d, cfg.num_bars)),
+            "b2": jnp.zeros((cfg.num_bars,)),
+        },
+    }
+    return params
+
+
+def param_count(params: Params) -> int:
+    return sum(p.size for p in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Primitives
+# ---------------------------------------------------------------------------
+
+
+def _ln(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    return (x32 - mu) * jax.lax.rsqrt(var + 1e-6) * p["scale"] + p["bias"]
+
+
+def _attn(
+    cfg: TabICAConfig,
+    p: Params,
+    q_in: jnp.ndarray,
+    kv_in: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """Multi-head attention, batch-agnostic.
+
+    q_in: [..., Lq, D]; kv_in: [..., Lk, D]; kv_mask: broadcastable [... , Lk].
+    """
+    dt = jnp.dtype(cfg.dtype)
+    scale = cfg.head_dim**-0.5
+    q = jnp.einsum("...ld,dhk->...lhk", q_in.astype(dt), p["wq"].astype(dt))
+    k = jnp.einsum("...ld,dhk->...lhk", kv_in.astype(dt), p["wk"].astype(dt))
+    v = jnp.einsum("...ld,dhk->...lhk", kv_in.astype(dt), p["wv"].astype(dt))
+    logits = jnp.einsum(
+        "...qhd,...khd->...hqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if kv_mask is not None:
+        logits = jnp.where(kv_mask[..., None, None, :], logits, _NEG_INF)
+    attn = jax.nn.softmax(logits, axis=-1).astype(dt)
+    out = jnp.einsum("...hqk,...khd->...qhd", attn, v)
+    out = jnp.einsum(
+        "...qhd,hdm->...qm", out, p["wo"].astype(dt), preferred_element_type=jnp.float32
+    )
+    return out + p["bo"]
+
+
+def _mlp(cfg: TabICAConfig, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    dt = jnp.dtype(cfg.dtype)
+    h = jnp.einsum("...d,dk->...k", x.astype(dt), p["w1"].astype(dt)) + p["b1"]
+    h = jax.nn.gelu(h.astype(jnp.float32)).astype(dt)
+    return jnp.einsum(
+        "...k,kd->...d", h, p["w2"].astype(dt), preferred_element_type=jnp.float32
+    ) + p["b2"]
+
+
+# ---------------------------------------------------------------------------
+# Blocks: joint / context-only / query-only paths
+#
+# The context data flow never reads query rows, so `_block_ctx` computes
+# exactly the same context states as the joint `_block`; `_block_qry` replays
+# the query path against the cached per-layer context states. This identity
+# (joint == encode+decode) is asserted in tests/test_transformer.py.
+# ---------------------------------------------------------------------------
+
+
+def _feat_attn_step(cfg, p, h, token_mask):
+    hn = _ln(p["ln_feat"], h)
+    return h + _attn(cfg, p["feat_attn"], hn, hn, token_mask)
+
+
+def _mlp_step(cfg, p, h):
+    return h + _mlp(cfg, p["mlp"], _ln(p["ln_mlp"], h))
+
+
+def _block_ctx(cfg, p, h_ctx, token_mask, ctx_mask):
+    """Context rows through one block; returns new state + row-attn cache."""
+    h_ctx = _feat_attn_step(cfg, p, h_ctx, token_mask)
+    hc = jnp.swapaxes(h_ctx, -3, -2)  # [..., T, N, D]
+    hc_n = _ln(p["ln_row"], hc).astype(jnp.dtype(cfg.dtype))
+    hc = hc + _attn(cfg, p["row_attn"], hc_n, hc_n, ctx_mask[..., None, :])
+    h_ctx = jnp.swapaxes(hc, -3, -2)
+    return _mlp_step(cfg, p, h_ctx), hc_n
+
+
+def _block_qry(cfg, p, h_qry, hc_n, token_mask, ctx_mask):
+    """Query rows through one block against cached context states hc_n."""
+    h_qry = _feat_attn_step(cfg, p, h_qry, token_mask)
+    hq = jnp.swapaxes(h_qry, -3, -2)  # [..., T, Q, D]
+    hq_n = _ln(p["ln_row"], hq).astype(jnp.dtype(cfg.dtype))
+    hq = hq + _attn(cfg, p["row_attn"], hq_n, hc_n, ctx_mask[..., None, :])
+    h_qry = jnp.swapaxes(hq, -3, -2)
+    return _mlp_step(cfg, p, h_qry)
+
+
+def _block_joint(cfg, p, h_ctx, h_qry, token_mask, ctx_mask):
+    h_ctx, hc_n = _block_ctx(cfg, p, h_ctx, token_mask, ctx_mask)
+    h_qry = _block_qry(cfg, p, h_qry, hc_n, token_mask, ctx_mask)
+    return h_ctx, h_qry
+
+
+# ---------------------------------------------------------------------------
+# Embedding and head
+# ---------------------------------------------------------------------------
+
+
+def _embed(cfg, p, x, y_cell, feat_mask):
+    # x: [..., R, F] -> [..., R, F+1, D]; y_cell: [..., R, D].
+    cells = x[..., None] * p["w_feat"] + p["b_feat"]
+    cells = jnp.where(feat_mask[..., :, None], cells, 0.0)
+    return jnp.concatenate([cells, y_cell[..., None, :]], axis=-2)
+
+
+def _embed_ctx(cfg, p, x_ctx, y_ctx, feat_mask):
+    y_cell = y_ctx[..., None] * p["w_y"] + p["b_y"]
+    return _embed(cfg, p, x_ctx, y_cell, feat_mask).astype(jnp.dtype(cfg.dtype))
+
+
+def _embed_qry(cfg, p, x_qry, feat_mask):
+    y_cell = jnp.broadcast_to(p["y_missing"], x_qry.shape[:-1] + (cfg.d_model,))
+    return _embed(cfg, p, x_qry, y_cell, feat_mask).astype(jnp.dtype(cfg.dtype))
+
+
+def _head(cfg, p, h_qry):
+    out = _ln(p["ln"], h_qry[..., -1, :])
+    out = jax.nn.gelu(out @ p["w1"] + p["b1"])
+    return out @ p["w2"] + p["b2"]
+
+
+def _masks(x_ctx, x_qry, feat_mask, ctx_mask):
+    f = x_ctx.shape[-1]
+    n = x_ctx.shape[-2]
+    if feat_mask is None:
+        feat_mask = jnp.ones(x_ctx.shape[:-2] + (f,), bool)
+    if ctx_mask is None:
+        ctx_mask = jnp.ones(x_ctx.shape[:-2] + (n,), bool)
+    token_mask = jnp.concatenate(
+        [feat_mask, jnp.ones(feat_mask.shape[:-1] + (1,), bool)], axis=-1
+    )
+    return feat_mask, token_mask, ctx_mask
+
+
+# ---------------------------------------------------------------------------
+# Public forward passes
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0, 7))
+def forward(
+    cfg: TabICAConfig,
+    params: Params,
+    x_ctx: jnp.ndarray,  # [..., N, F] pre-normalized context features
+    y_ctx: jnp.ndarray,  # [..., N]    pre-normalized context targets
+    x_qry: jnp.ndarray,  # [..., Q, F] query features
+    feat_mask: Optional[jnp.ndarray] = None,  # [..., F] active columns
+    ctx_mask: Optional[jnp.ndarray] = None,  # [..., N] real rows
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Joint forward. Returns bar logits [..., Q, num_bars]."""
+    feat_mask, token_mask, ctx_mask = _masks(x_ctx, x_qry, feat_mask, ctx_mask)
+    e = params["embed"]
+    h_ctx = _embed_ctx(cfg, e, x_ctx, y_ctx, feat_mask)
+    h_qry = _embed_qry(cfg, e, x_qry, feat_mask)
+
+    def body(carry, p):
+        hc, hq = carry
+        hc, hq = _block_joint(cfg, p, hc, hq, token_mask, ctx_mask)
+        return (hc, hq), None
+
+    if remat:
+        body = jax.checkpoint(body)
+    (h_ctx, h_qry), _ = jax.lax.scan(body, (h_ctx, h_qry), params["blocks"])
+    return _head(cfg, params["head"], h_qry)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def encode_context(
+    cfg: TabICAConfig,
+    params: Params,
+    x_ctx: jnp.ndarray,
+    y_ctx: jnp.ndarray,
+    feat_mask: Optional[jnp.ndarray] = None,
+    ctx_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Encode context once; returns the per-layer row-attention cache
+    [L, ..., T, N, D]. This is the analog of the reference's per-dimension
+    ``model.fit`` (npe_pfn.py:140) — but it is pure and reusable across any
+    number of query chunks."""
+    feat_mask, token_mask, ctx_mask = _masks(x_ctx, x_ctx[..., :0, :], feat_mask, ctx_mask)
+    h_ctx = _embed_ctx(cfg, params["embed"], x_ctx, y_ctx, feat_mask)
+
+    def body(hc, p):
+        hc, hc_n = _block_ctx(cfg, p, hc, token_mask, ctx_mask)
+        return hc, hc_n
+
+    _, cache = jax.lax.scan(body, h_ctx, params["blocks"])
+    return cache
+
+
+@partial(jax.jit, static_argnums=(0,))
+def decode_queries(
+    cfg: TabICAConfig,
+    params: Params,
+    cache: jnp.ndarray,  # [L, ..., T, N, D] from encode_context
+    x_qry: jnp.ndarray,  # [..., Q, F]
+    feat_mask: Optional[jnp.ndarray] = None,
+    ctx_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Run query rows against a cached context. Analog of the reference's
+    ``model.predict`` (npe_pfn.py:143), batched over all query rows."""
+    n = cache.shape[-2]
+    if ctx_mask is None:
+        ctx_mask = jnp.ones(x_qry.shape[:-2] + (n,), bool)
+    f = x_qry.shape[-1]
+    if feat_mask is None:
+        feat_mask = jnp.ones(x_qry.shape[:-2] + (f,), bool)
+    token_mask = jnp.concatenate(
+        [feat_mask, jnp.ones(feat_mask.shape[:-1] + (1,), bool)], axis=-1
+    )
+    h_qry = _embed_qry(cfg, params["embed"], x_qry, feat_mask)
+
+    def body(hq, layer):
+        p, hc_n = layer
+        hq = _block_qry(cfg, p, hq, hc_n, token_mask, ctx_mask)
+        return hq, None
+
+    h_qry, _ = jax.lax.scan(body, h_qry, (params["blocks"], cache))
+    return _head(cfg, params["head"], h_qry)
