@@ -8,10 +8,33 @@ sequential inference (TSNPE), support estimation, context filtering,
 ratio-based density evaluation, and a full evaluation harness — all designed
 for TPU: pure functions under jit, fixed shapes, lax.scan autoregression,
 sharding over device meshes.
+
+Public API parity with the reference's exports (reference __init__.py:1-12):
+``NPEPFN`` ≙ TabPFN_Based_NPE_PFN, ``UnconditionalEstimator`` ≙
+TabPFN_Based_Uncond_Estimator, ``run_tsnpe`` ≙ run_tsnpe_pfn.
 """
 
 __version__ = "0.1.0"
 
-from . import models  # noqa: F401
+from . import distributions, filters, models, tasks  # noqa: F401
+from .estimator import NPEPFN, DensityRatioEstimator  # noqa: F401
+from .restricted_prior import RestrictedPrior  # noqa: F401
+from .support import PosteriorSupport, prereject_with_bounds  # noqa: F401
+from .tsnpe import run_tsnpe, simulate_for_sbi  # noqa: F401
+from .unconditional import UnconditionalEstimator  # noqa: F401
 
-__all__ = ["models", "__version__"]
+__all__ = [
+    "NPEPFN",
+    "DensityRatioEstimator",
+    "PosteriorSupport",
+    "RestrictedPrior",
+    "UnconditionalEstimator",
+    "run_tsnpe",
+    "simulate_for_sbi",
+    "prereject_with_bounds",
+    "distributions",
+    "filters",
+    "models",
+    "tasks",
+    "__version__",
+]

@@ -1,0 +1,567 @@
+"""Core NPE-PFN estimator, TPU-native.
+
+Rebuild of the reference's ``NPE_PFN_Core`` / ``TabPFN_Based_NPE_PFN``
+(reference: npe_pfn.py:26-600, 708-744) on top of the TabICA in-context
+transformer. Key architectural departures, all driven by XLA semantics:
+
+- The reference's per-dimension Python loop of ``model.fit`` +
+  ``model.predict`` (npe_pfn.py:135-167) becomes ONE ``lax.scan`` over θ
+  dimensions whose step encodes the context once (fit analog) and streams
+  all query rows against the cached context in fixed chunks (predict
+  analog). Static shapes → a single compiled executable serves every
+  dimension, every call.
+- ``sample`` and ``sample_batched`` (npe_pfn.py:111-251) share that one
+  kernel: batched sampling is just more query rows (x repeated per sample).
+  The reference needed two code paths because PyTorch-side refits were the
+  unit of cost.
+- ``log_prob_batched`` — NotImplemented in the reference (npe_pfn.py:457-460)
+  — falls out for free (same scan, scoring instead of sampling).
+- Rejection against the prior support is a fixed-shape oversample+mask loop
+  at the Python level with the reference's escape hatches (adaptive batch,
+  max-iteration fill with unfiltered samples; accept_reject_sampler.py:67-77)
+  preserved as explicit, documented diagnostics.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import filters as filters_mod
+from .distributions import BoxUniform, Distribution
+from .models import checkpoint as ckpt_mod
+from .models import regressor
+from .models.regressor import TabICAModel
+
+Array = jnp.ndarray
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Jitted autoregressive kernels
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("qry_chunk",))
+def autoregressive_sample(
+    model: TabICAModel,
+    theta_ctx: Array,  # [N, dθ] context parameters
+    x_ctx: Array,  # [N, dx]  context observations
+    ctx_mask: Array,  # [N] real-row mask
+    x_qry: Array,  # [Q, dx]  observation per query row (repeat per sample)
+    rng: jax.Array,
+    qry_chunk: int = 1024,
+) -> Tuple[Array, Array]:
+    """Draw θ ~ q(θ|x) autoregressively per dimension.
+
+    Replaces the reference hot loop npe_pfn.py:135-167 / 211-241. Returns
+    (theta [Q, dθ], log_prob [Q]) — log-probs are the free by-product of
+    sampling from the bar distribution.
+    """
+    n, dth = theta_ctx.shape
+    q, dx = x_qry.shape
+    f = model.cfg.max_features
+    if dx + dth > f:
+        raise ValueError(
+            f"dx+dtheta = {dx + dth} exceeds model feature budget {f}; "
+            "use an embedding_net (e.g. RandomProjectionEmbedding) to compress x"
+        )
+    assert q % qry_chunk == 0, "pad query rows to a multiple of qry_chunk"
+
+    xc = jnp.zeros((n, f), theta_ctx.dtype)
+    xc = xc.at[:, :dx].set(x_ctx).at[:, dx : dx + dth].set(theta_ctx)
+    col = jnp.arange(f)
+
+    def step(theta_sm, inp):
+        i, key = inp
+        feat_mask = col < dx + i
+        y_ctx = jnp.take(theta_ctx, i, axis=1)
+        fitted = regressor.fit_encode(model, xc, y_ctx, feat_mask, ctx_mask)
+        xq = jnp.zeros((q, f), x_qry.dtype)
+        xq = xq.at[:, :dx].set(x_qry).at[:, dx : dx + dth].set(theta_sm)
+        logits = jax.lax.map(
+            lambda chunk: regressor.predict_logits(model, fitted, chunk),
+            xq.reshape(q // qry_chunk, qry_chunk, f),
+        ).reshape(q, -1)
+        th_i = regressor.sample_y(key, model, fitted, logits)
+        lp_i = regressor.log_prob_y(model, fitted, logits, th_i)
+        return theta_sm.at[:, i].set(th_i), lp_i
+
+    keys = jax.random.split(rng, dth)
+    theta0 = jnp.zeros((q, dth), x_qry.dtype)
+    theta, lps = jax.lax.scan(step, theta0, (jnp.arange(dth), keys))
+    return theta, jnp.sum(lps, axis=0)
+
+
+@partial(jax.jit, static_argnames=("qry_chunk",))
+def autoregressive_log_prob(
+    model: TabICAModel,
+    theta_ctx: Array,
+    x_ctx: Array,
+    ctx_mask: Array,
+    x_qry: Array,  # [Q, dx]
+    theta_eval: Array,  # [Q, dθ]
+    qry_chunk: int = 1024,
+) -> Array:
+    """Score log q(θ|x) autoregressively (reference npe_pfn.py:462-524).
+    Like the reference, no truncation/leakage correction (npe_pfn.py:475).
+    Densities are finite by construction (full-support bar distribution), so
+    the reference's -inf→log(eps) flooring (npe_pfn.py:153-158) is moot."""
+    n, dth = theta_ctx.shape
+    q, dx = x_qry.shape
+    f = model.cfg.max_features
+    assert q % qry_chunk == 0
+
+    xc = jnp.zeros((n, f), theta_ctx.dtype)
+    xc = xc.at[:, :dx].set(x_ctx).at[:, dx : dx + dth].set(theta_ctx)
+    xq_full = jnp.zeros((q, f), x_qry.dtype)
+    xq_full = xq_full.at[:, :dx].set(x_qry).at[:, dx : dx + dth].set(theta_eval)
+    col = jnp.arange(f)
+
+    def step(_, i):
+        feat_mask = col < dx + i
+        y_ctx = jnp.take(theta_ctx, i, axis=1)
+        fitted = regressor.fit_encode(model, xc, y_ctx, feat_mask, ctx_mask)
+        logits = jax.lax.map(
+            lambda chunk: regressor.predict_logits(model, fitted, chunk),
+            xq_full.reshape(q // qry_chunk, qry_chunk, f),
+        ).reshape(q, -1)
+        lp_i = regressor.log_prob_y(model, fitted, logits, jnp.take(theta_eval, i, axis=1))
+        return None, lp_i
+
+    _, lps = jax.lax.scan(step, None, jnp.arange(dth))
+    return jnp.sum(lps, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Density-ratio log_prob (classifier path)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DensityRatioEstimator:
+    """Ratio-based log_prob via a posterior-vs-uniform in-context classifier.
+
+    Analog of the reference's DensityRatioWrapper (npe_pfn.py:603-704):
+    posterior samples get label 1, uniform draws from a padded bounding box
+    get label 0; then log p(θ|x) ≈ log u(θ) + log(p₁+ε) − log(p₀+ε). The
+    classifier here is TabICA's posterior-mean-of-{0,1} head — no separate
+    model. The fit is cached on (x, context fingerprint, n_samples, padding)
+    exactly like the reference's refit_necessary (npe_pfn.py:663-681).
+    """
+
+    model: TabICAModel
+    context_size: int = 512  # classifier context rows (pos+neg)
+    eps: float = 1e-12
+
+    _cache_key: Optional[tuple] = field(default=None, repr=False)
+    _ctx_theta: Optional[Array] = field(default=None, repr=False)
+    _ctx_labels: Optional[Array] = field(default=None, repr=False)
+    _low: Optional[Array] = field(default=None, repr=False)
+    _high: Optional[Array] = field(default=None, repr=False)
+    _log_u: float = 0.0
+
+    def refit_necessary(self, x, ctx_fingerprint, n_samples, padding) -> bool:
+        if self._cache_key is None:
+            return True
+        kx, kf, kn, kp = self._cache_key
+        return not (
+            kn == n_samples
+            and kp == padding
+            and kf == ctx_fingerprint
+            and np.allclose(kx, np.asarray(x))
+        )
+
+    def fit(self, rng, posterior_samples: Array, x, ctx_fingerprint, padding: float = 0.1):
+        n_half = self.context_size // 2
+        k1, k2 = jax.random.split(rng)
+        pos_idx = jax.random.permutation(k1, posterior_samples.shape[0])[:n_half]
+        pos = posterior_samples[pos_idx]
+        lo = jnp.min(posterior_samples, axis=0)
+        hi = jnp.max(posterior_samples, axis=0)
+        span = hi - lo
+        self._low = lo - padding * span
+        self._high = hi + padding * span
+        self._log_u = float(-jnp.sum(jnp.log(jnp.maximum(self._high - self._low, 1e-12))))
+        neg = BoxUniform(self._low, self._high).sample(k2, (n_half,))
+        self._ctx_theta = jnp.concatenate([pos, neg], axis=0)
+        self._ctx_labels = jnp.concatenate(
+            [jnp.ones((n_half,)), jnp.zeros((n_half,))]
+        )
+        self._cache_key = (
+            np.asarray(x).copy(),
+            ctx_fingerprint,
+            posterior_samples.shape[0],
+            padding,
+        )
+
+    def ratio_log_probs(self, theta: Array) -> Array:
+        """Reference semantics npe_pfn.py:683-704: out-of-box θ gets the
+        floor log u + log ε − log(1+ε)."""
+        probs = regressor.predict_proba(
+            self.model, self._ctx_theta, self._ctx_labels, theta
+        )
+        p0, p1 = probs[..., 0], probs[..., 1]
+        inside = jnp.all((theta >= self._low) & (theta <= self._high), axis=-1)
+        lp = self._log_u + jnp.log(p1 + self.eps) - jnp.log(p0 + self.eps)
+        floor = self._log_u + math.log(self.eps) - math.log(1 + self.eps)
+        return jnp.where(inside, lp, floor)
+
+
+# ---------------------------------------------------------------------------
+# The estimator
+# ---------------------------------------------------------------------------
+
+
+class NPEPFN:
+    """Training-free neural posterior estimator (NPE-PFN), TPU-native.
+
+    Unifies the reference's ``NPE_PFN_Core`` (no filtering) and
+    ``TabPFN_Based_NPE_PFN`` (per-observation context filtering,
+    npe_pfn.py:708-744): pass ``filter_type="no_filtering"`` for core
+    semantics. Batched sampling always uses the shared unfiltered context —
+    filtering and true batching are mutually exclusive by design (reference
+    comment npe_pfn.py:707).
+    """
+
+    def __init__(
+        self,
+        prior: Optional[Distribution] = None,
+        model: Optional[TabICAModel] = None,
+        filter_type: Union[str, Callable] = "standardized_euclidean_filtering",
+        filter_context_size: int = 512,
+        embedding_net: Optional[Callable[[Array], Array]] = None,
+        log_prob_mode: str = "ratio_based",
+        qry_chunk: int = 1024,
+        ratio_context_size: int = 512,
+        seed: int = 0,
+    ):
+        if model is None:
+            model, trained = ckpt_mod.load_default()
+            if not trained:
+                import warnings
+
+                warnings.warn(
+                    "no pretrained TabICA checkpoint found — using random "
+                    "weights; posterior quality will be garbage. Run "
+                    "scripts/pretrain_tabica.py or set NPE_PFN_TPU_CHECKPOINT."
+                )
+        self.model = model
+        self.prior = prior
+        self.filter_fn = filters_mod.get_filtering_method(filter_type)
+        self.filter_context_size = int(filter_context_size)
+        self.embedding_net = embedding_net
+        self.log_prob_mode = log_prob_mode
+        self.qry_chunk = int(qry_chunk)
+        self._rng = jax.random.PRNGKey(seed)
+        self._theta_train: Optional[Array] = None
+        self._x_train: Optional[Array] = None
+        self._ctx_version = 0
+        self._ratio = DensityRatioEstimator(model, context_size=ratio_context_size)
+
+    # -- state / serialization (reference pickle hooks npe_pfn.py:57-71) ----
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_theta_train"] = (
+            None if self._theta_train is None else np.asarray(self._theta_train)
+        )
+        state["_x_train"] = None if self._x_train is None else np.asarray(self._x_train)
+        state["_ratio"] = None  # lazily rebuilt, like the reference drops models
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        if self._theta_train is not None:
+            self._theta_train = jnp.asarray(self._theta_train)
+            self._x_train = jnp.asarray(self._x_train)
+        self._ratio = DensityRatioEstimator(self.model)
+
+    # -- data ----------------------------------------------------------------
+
+    def _next_rng(self, rng: Optional[jax.Array]) -> jax.Array:
+        if rng is not None:
+            return rng
+        self._rng, out = jax.random.split(self._rng)
+        return out
+
+    def append_simulations(self, theta, x) -> "NPEPFN":
+        """Store (θ, x) sims as estimator context. Like the reference
+        (npe_pfn.py:73-82), this REPLACES previous data."""
+        theta = jnp.asarray(theta, jnp.float32)
+        x = jnp.asarray(x, jnp.float32)
+        theta = self._validate(theta, "theta")
+        x = self._validate(x, "x")
+        if theta.shape[0] != x.shape[0]:
+            raise ValueError("theta and x must have the same number of rows")
+        if self.embedding_net is not None:
+            x = jnp.asarray(self.embedding_net(x))
+        self._theta_train, self._x_train = theta, x
+        self._ctx_version += 1
+        return self
+
+    @staticmethod
+    def _validate(arr: Array, name: str) -> Array:
+        if arr.ndim == 1:
+            arr = arr[:, None]
+        if arr.ndim != 2:
+            raise ValueError(f"{name} must be 2D [num_sims, dim], got {arr.shape}")
+        return arr
+
+    @property
+    def num_simulations(self) -> int:
+        return 0 if self._theta_train is None else int(self._theta_train.shape[0])
+
+    def get_context(self, x_o: Array, rng: Optional[jax.Array] = None):
+        """Per-observation filtered, padded context (npe_pfn.py:739-744)."""
+        if self._theta_train is None:
+            raise RuntimeError("call append_simulations first")
+        return self.filter_fn(
+            x_o,
+            self._theta_train,
+            self._x_train,
+            self.filter_context_size,
+            rng=self._next_rng(rng),
+        )
+
+    def _prep_obs(self, x) -> Array:
+        """Apply the embedding net to an observation (npe_pfn.py:272-274)."""
+        x = jnp.asarray(x, jnp.float32)
+        if self.embedding_net is not None:
+            squeeze = x.ndim == 1
+            x = jnp.asarray(self.embedding_net(x[None] if squeeze else x))
+            if squeeze:
+                x = x[0]
+        return x
+
+    # -- sampling -------------------------------------------------------------
+
+    def _raw_sample(self, rng, x_o: Array, num: int, theta_ctx, x_ctx, ctx_mask):
+        """One fixed-shape proposal draw of `num` samples for one obs."""
+        q = _round_up(num, self.qry_chunk)
+        x_qry = jnp.broadcast_to(x_o, (q, x_o.shape[-1]))
+        theta, lp = autoregressive_sample(
+            self.model, theta_ctx, x_ctx, ctx_mask, x_qry, rng, self.qry_chunk
+        )
+        return theta[:num], lp[:num]
+
+    def _within_support(self, theta: Array) -> Array:
+        """Prior-support mask (npe_pfn.py:581-600); everything accepted when
+        no prior is set."""
+        if self.prior is None:
+            return jnp.ones(theta.shape[:-1], bool)
+        return self.prior.support_check(theta)
+
+    def sample(
+        self,
+        num_samples: int,
+        x: Array,
+        rng: Optional[jax.Array] = None,
+        max_iters: int = 10,
+        show_progress: bool = False,
+        return_acceptance_rate: bool = False,
+        return_log_probs: bool = False,
+    ):
+        """Posterior samples for ONE observation with rejection against the
+        prior support (npe_pfn.py:253-308 + accept_reject_sampler.py:9-91).
+
+        Fixed-shape batches: every iteration draws the same padded batch, so
+        the kernel compiles once. After max_iters the remainder is filled
+        with unfiltered samples — the reference's documented escape hatch
+        (accept_reject_sampler.py:74-77) — and the acceptance rate is
+        reported so callers can detect it.
+        """
+        x = self._prep_obs(x)
+        if x.ndim == 2:
+            if x.shape[0] != 1:
+                raise ValueError(
+                    "sample() takes a single observation; use sample_batched "
+                    "for multiple x (reference npe_pfn.py:278-282)"
+                )
+            x = x[0]
+        rng = self._next_rng(rng)
+        ctx_rng, rng = jax.random.split(rng)
+        theta_ctx, x_ctx, ctx_mask = self.get_context(x, ctx_rng)
+
+        accepted, acc_lps = [], []
+        total_drawn, total_accepted = 0, 0
+        remaining = num_samples
+        last_theta, last_lp = None, None
+        for _ in range(max_iters):
+            rng, draw_rng = jax.random.split(rng)
+            theta, lp = self._raw_sample(
+                draw_rng, x, num_samples, theta_ctx, x_ctx, ctx_mask
+            )
+            mask = np.asarray(self._within_support(theta))
+            last_theta, last_lp = theta, lp
+            idx = np.nonzero(mask)[0][:remaining]
+            total_drawn += theta.shape[0]
+            total_accepted += int(mask.sum())
+            if idx.size:
+                accepted.append(np.asarray(theta)[idx])
+                acc_lps.append(np.asarray(lp)[idx])
+                remaining -= idx.size
+            if remaining <= 0:
+                break
+        if remaining > 0:
+            # Escape hatch: top up with unfiltered draws (documented fallback).
+            accepted.append(np.asarray(last_theta)[:remaining])
+            acc_lps.append(np.asarray(last_lp)[:remaining])
+        theta_out = jnp.asarray(np.concatenate(accepted, axis=0)[:num_samples])
+        lp_out = jnp.asarray(np.concatenate(acc_lps, axis=0)[:num_samples])
+        acceptance = total_accepted / max(total_drawn, 1)
+        out = [theta_out]
+        if return_log_probs:
+            out.append(lp_out)
+        if return_acceptance_rate:
+            out.append(acceptance)
+        return out[0] if len(out) == 1 else tuple(out)
+
+    def sample_batched(
+        self,
+        num_samples: int,
+        x: Array,
+        rng: Optional[jax.Array] = None,
+        max_iters: int = 10,
+        oversample: float = 1.5,
+        return_log_probs: bool = False,
+    ):
+        """Samples for M observations at once → [M, num_samples, dθ]
+        (reference npe_pfn.py:310-410). Shared unfiltered context; ALL
+        (M × num_samples × oversample) query rows go through the scan in one
+        jitted call — the reference's "one predict per dim" invariant
+        (docs/sample_batched_implementation.md:230-237), here with context
+        *encoded* once per dim instead of refit.
+
+        Unlike the reference — which can return short/raise after 10 tries
+        (npe_pfn.py:400-402, SURVEY §3.2 edge) — undersupplied observations
+        are topped up with unfiltered draws, same escape hatch as sample().
+        """
+        x = jnp.asarray(x, jnp.float32)
+        if x.ndim == 1:
+            x = x[None]
+        if self.embedding_net is not None:
+            x = jnp.asarray(self.embedding_net(x))
+        m, dx = x.shape
+        rng = self._next_rng(rng)
+
+        theta_ctx, x_ctx, ctx_mask = filters_mod.no_filtering(
+            None, self._theta_train, self._x_train, self.filter_context_size
+        )
+
+        n_over = int(math.ceil(num_samples * (oversample if self.prior else 1.0)))
+        dth = self._theta_train.shape[1]
+        got = [np.zeros((0, dth), np.float32) for _ in range(m)]
+        got_lp = [np.zeros((0,), np.float32) for _ in range(m)]
+        for _ in range(max_iters):
+            need = max(num_samples - min(g.shape[0] for g in got), 0)
+            if need == 0:
+                break
+            rng, draw_rng = jax.random.split(rng)
+            q = _round_up(m * n_over, self.qry_chunk)
+            x_qry = jnp.repeat(x, n_over, axis=0)
+            x_qry = jnp.concatenate(
+                [x_qry, jnp.zeros((q - m * n_over, dx), x.dtype)], axis=0
+            )
+            theta, lp = autoregressive_sample(
+                self.model, theta_ctx, x_ctx, ctx_mask, x_qry, draw_rng, self.qry_chunk
+            )
+            theta = np.asarray(theta[: m * n_over]).reshape(m, n_over, dth)
+            lp = np.asarray(lp[: m * n_over]).reshape(m, n_over)
+            mask = np.asarray(
+                self._within_support(jnp.asarray(theta.reshape(-1, dth)))
+            ).reshape(m, n_over)
+            for j in range(m):
+                take = np.nonzero(mask[j])[0][: num_samples - got[j].shape[0]]
+                got[j] = np.concatenate([got[j], theta[j, take]], axis=0)
+                got_lp[j] = np.concatenate([got_lp[j], lp[j, take]], axis=0)
+            if self.prior is None:
+                break
+        for j in range(m):
+            short = num_samples - got[j].shape[0]
+            if short > 0:  # escape hatch: unfiltered top-up
+                got[j] = np.concatenate([got[j], theta[j, :short]], axis=0)
+                got_lp[j] = np.concatenate([got_lp[j], lp[j, :short]], axis=0)
+        theta_out = jnp.asarray(np.stack(got)[:, :num_samples])
+        lp_out = jnp.asarray(np.stack(got_lp)[:, :num_samples])
+        return (theta_out, lp_out) if return_log_probs else theta_out
+
+    # -- densities ------------------------------------------------------------
+
+    def log_prob(
+        self,
+        theta: Array,
+        x: Array,
+        rng: Optional[jax.Array] = None,
+        mode: Optional[str] = None,
+        num_ratio_samples: int = 4096,
+        padding: float = 0.1,
+    ) -> Array:
+        """log q(θ|x) — autoregressive or ratio_based (npe_pfn.py:412-455)."""
+        mode = mode or self.log_prob_mode
+        theta = self._validate(jnp.asarray(theta, jnp.float32), "theta")
+        x = self._prep_obs(x)
+        if x.ndim == 2:
+            x = x[0]
+        rng = self._next_rng(rng)
+        if mode == "autoregressive":
+            ctx_rng, rng = jax.random.split(rng)
+            theta_ctx, x_ctx, ctx_mask = self.get_context(x, ctx_rng)
+            n = theta.shape[0]
+            q = _round_up(n, self.qry_chunk)
+            pad = q - n
+            x_qry = jnp.broadcast_to(x, (q, x.shape[-1]))
+            theta_pad = jnp.concatenate(
+                [theta, jnp.zeros((pad, theta.shape[1]), theta.dtype)], axis=0
+            )
+            lp = autoregressive_log_prob(
+                self.model, theta_ctx, x_ctx, ctx_mask, x_qry, theta_pad, self.qry_chunk
+            )
+            return lp[:n]
+        if mode == "ratio_based":
+            if self._ratio.refit_necessary(x, self._ctx_version, num_ratio_samples, padding):
+                s_rng, f_rng, rng = jax.random.split(rng, 3)
+                post = self.sample(num_ratio_samples, x, rng=s_rng)
+                self._ratio.model = self.model
+                self._ratio.fit(f_rng, post, x, self._ctx_version, padding)
+            return self._ratio.ratio_log_probs(theta)
+        raise ValueError(f"unknown log_prob mode {mode!r}")
+
+    def log_prob_batched(
+        self, theta: Array, x: Array, rng: Optional[jax.Array] = None
+    ) -> Array:
+        """Batched autoregressive log-prob over M observations —
+        unimplemented in the reference (npe_pfn.py:457-460), free here.
+
+        theta: [M, S, dθ]; x: [M, dx] → [M, S].
+        """
+        theta = jnp.asarray(theta, jnp.float32)
+        x = jnp.asarray(x, jnp.float32)
+        if self.embedding_net is not None:
+            x = jnp.asarray(self.embedding_net(x))
+        m, s, dth = theta.shape
+        theta_ctx, x_ctx, ctx_mask = filters_mod.no_filtering(
+            None, self._theta_train, self._x_train, self.filter_context_size
+        )
+        q = _round_up(m * s, self.qry_chunk)
+        x_qry = jnp.repeat(x, s, axis=0)
+        x_qry = jnp.concatenate(
+            [x_qry, jnp.zeros((q - m * s, x.shape[1]), x.dtype)], axis=0
+        )
+        theta_flat = theta.reshape(m * s, dth)
+        theta_flat = jnp.concatenate(
+            [theta_flat, jnp.zeros((q - m * s, dth), theta.dtype)], axis=0
+        )
+        lp = autoregressive_log_prob(
+            self.model, theta_ctx, x_ctx, ctx_mask, x_qry, theta_flat, self.qry_chunk
+        )
+        return lp[: m * s].reshape(m, s)

@@ -165,13 +165,18 @@ def _mlp(cfg: TabICAConfig, p: Params, x: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _res_add(cfg, h, delta):
+    """Residual add with f32 accumulation, stream kept in cfg.dtype."""
+    return (h.astype(jnp.float32) + delta).astype(jnp.dtype(cfg.dtype))
+
+
 def _feat_attn_step(cfg, p, h, token_mask):
     hn = _ln(p["ln_feat"], h)
-    return h + _attn(cfg, p["feat_attn"], hn, hn, token_mask)
+    return _res_add(cfg, h, _attn(cfg, p["feat_attn"], hn, hn, token_mask))
 
 
 def _mlp_step(cfg, p, h):
-    return h + _mlp(cfg, p["mlp"], _ln(p["ln_mlp"], h))
+    return _res_add(cfg, h, _mlp(cfg, p["mlp"], _ln(p["ln_mlp"], h)))
 
 
 def _block_ctx(cfg, p, h_ctx, token_mask, ctx_mask):
@@ -179,7 +184,7 @@ def _block_ctx(cfg, p, h_ctx, token_mask, ctx_mask):
     h_ctx = _feat_attn_step(cfg, p, h_ctx, token_mask)
     hc = jnp.swapaxes(h_ctx, -3, -2)  # [..., T, N, D]
     hc_n = _ln(p["ln_row"], hc).astype(jnp.dtype(cfg.dtype))
-    hc = hc + _attn(cfg, p["row_attn"], hc_n, hc_n, ctx_mask[..., None, :])
+    hc = _res_add(cfg, hc, _attn(cfg, p["row_attn"], hc_n, hc_n, ctx_mask[..., None, :]))
     h_ctx = jnp.swapaxes(hc, -3, -2)
     return _mlp_step(cfg, p, h_ctx), hc_n
 
@@ -189,7 +194,7 @@ def _block_qry(cfg, p, h_qry, hc_n, token_mask, ctx_mask):
     h_qry = _feat_attn_step(cfg, p, h_qry, token_mask)
     hq = jnp.swapaxes(h_qry, -3, -2)  # [..., T, Q, D]
     hq_n = _ln(p["ln_row"], hq).astype(jnp.dtype(cfg.dtype))
-    hq = hq + _attn(cfg, p["row_attn"], hq_n, hc_n, ctx_mask[..., None, :])
+    hq = _res_add(cfg, hq, _attn(cfg, p["row_attn"], hq_n, hc_n, ctx_mask[..., None, :]))
     h_qry = jnp.swapaxes(hq, -3, -2)
     return _mlp_step(cfg, p, h_qry)
 

@@ -1,0 +1,176 @@
+"""Synthetic task prior for pretraining TabICA.
+
+The reference relies on TabPFNv2's pretrained weights (an external artifact
+it downloads at runtime; reference pyproject.toml:15). No checkpoint or
+network access exists in this environment, so the framework pretrains its own
+prior-fitted network — once, offline, on TPU — preserving the reference's
+"no training at inference" contract (reference README.md:36).
+
+The prior is a mixture of three task families, all generated on-device inside
+jit with static shapes:
+
+1. **Stochastic-conditional regression** ("forward"): y = g(x, z) + noise for
+   a random sparse MLP g and latent z ~ N(0, I). The latent makes p(y|x)
+   non-degenerate and frequently multimodal — exactly what a posterior
+   p(θ_i | x, θ_{<i}) looks like for non-injective simulators (two moons!).
+2. **SBI inverse problems** ("inverse"): θ ~ N(0, I), x = s(θ) + noise for a
+   random simulator s; the table's features are (x dims, θ_{<j}) and the
+   target is θ_j — the literal structure of autoregressive NPE-PFN sampling
+   (reference npe_pfn.py:135-162 conditions dim j on x and θ_{<j}).
+3. **Thresholded binary tasks**: y = 1[g(x, z) > t] — calibrates the
+   posterior-mean classifier used by the ratio-based log_prob path and the
+   restricted prior (reference npe_pfn.py:697-702).
+
+Everything is vmapped over the dataset axis; one `sample_tasks` call is one
+fully-formed training batch living in HBM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class PriorConfig:
+    num_features: int = 32        # static feature width F (mask selects active)
+    num_ctx: int = 384            # static context slots per dataset
+    num_qry: int = 128            # query rows per dataset
+    max_active_features: int = 24
+    min_ctx: int = 8
+    hidden: int = 64              # random-MLP width
+    max_theta_dim: int = 6        # for inverse problems
+    latent_dim: int = 4           # z dim for stochastic conditionals
+    p_inverse: float = 0.4        # mixture weights
+    p_binary: float = 0.15
+
+
+@dataclasses.dataclass
+class TaskBatch:
+    x_ctx: jnp.ndarray   # [D, N, F]
+    y_ctx: jnp.ndarray   # [D, N]
+    x_qry: jnp.ndarray   # [D, Q, F]
+    y_qry: jnp.ndarray   # [D, Q]
+    feat_mask: jnp.ndarray  # [D, F] bool
+    ctx_mask: jnp.ndarray   # [D, N] bool
+
+
+jax.tree_util.register_pytree_node(
+    TaskBatch,
+    lambda t: ((t.x_ctx, t.y_ctx, t.x_qry, t.y_qry, t.feat_mask, t.ctx_mask), None),
+    lambda _, c: TaskBatch(*c),
+)
+
+
+def _rand_act(rng, h):
+    """Random activation: mixture over tanh/relu/sin/identity per layer."""
+    idx = jax.random.randint(rng, (), 0, 4)
+    return jax.lax.switch(
+        idx,
+        [jnp.tanh, jax.nn.relu, jnp.sin, lambda v: v],
+        h,
+    )
+
+
+def _random_mlp(rng, x, out_dim: int, hidden: int):
+    """Apply a per-dataset random sparse 2-hidden-layer MLP: [R, Din] -> [R, out_dim]."""
+    din = x.shape[-1]
+    ks = jax.random.split(rng, 10)
+    scale1 = jax.random.uniform(ks[0], (), minval=0.5, maxval=2.5)
+    w1 = jax.random.normal(ks[1], (din, hidden)) * scale1 / jnp.sqrt(din)
+    # Sparse dependency graph (SCM flavor): drop connections at random rate.
+    keep = jax.random.bernoulli(
+        ks[2], 1.0 - 0.7 * jax.random.uniform(ks[3], ()), (din, hidden)
+    )
+    w1 = w1 * keep
+    b1 = jax.random.normal(ks[4], (hidden,)) * 0.3
+    h = _rand_act(ks[5], x @ w1 + b1)
+    w2 = jax.random.normal(ks[6], (hidden, hidden)) * (1.0 / jnp.sqrt(hidden))
+    b2 = jax.random.normal(ks[7], (hidden,)) * 0.3
+    h = _rand_act(ks[8], h @ w2 + b2)
+    w3 = jax.random.normal(ks[9], (hidden, out_dim)) * (1.0 / jnp.sqrt(hidden))
+    return h @ w3
+
+
+def _sample_one(rng: jax.Array, cfg: PriorConfig) -> Tuple[jnp.ndarray, ...]:
+    """Generate one dataset with static shapes [R=N+Q rows]."""
+    R = cfg.num_ctx + cfg.num_qry
+    F = cfg.num_features
+    ks = jax.random.split(rng, 24)
+
+    # --- active feature count / context size (biased toward small) ---------
+    u_f = jax.random.uniform(ks[0], ())
+    f_active = 1 + jnp.floor(u_f**1.5 * (cfg.max_active_features - 1)).astype(jnp.int32)
+    u_n = jax.random.uniform(ks[1], ())
+    n_active = cfg.min_ctx + jnp.floor(
+        u_n**1.2 * (cfg.num_ctx - cfg.min_ctx)
+    ).astype(jnp.int32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (F,), 0)
+    feat_mask = col < f_active
+    row = jax.lax.broadcasted_iota(jnp.int32, (cfg.num_ctx,), 0)
+    ctx_mask = row < n_active
+
+    # =========== family A: forward stochastic-conditional regression =======
+    # x: correlated mixture of gaussian/uniform marginals.
+    x_raw = jax.random.normal(ks[2], (R, F))
+    mix_w = jax.random.normal(ks[3], (F, F)) / jnp.sqrt(F)
+    alpha = jax.random.uniform(ks[4], ())  # correlation strength
+    x_fwd = x_raw * (1 - alpha) + (x_raw @ mix_w) * alpha
+    uniformize = jax.random.bernoulli(ks[5], 0.3, (F,))
+    x_fwd = jnp.where(uniformize, jax.scipy.stats.norm.cdf(x_fwd) * 2 - 1, x_fwd)
+    z = jax.random.normal(ks[6], (R, cfg.latent_dim))
+    z_scale = jax.random.uniform(ks[7], (), minval=0.0, maxval=1.5)
+    g_in = jnp.concatenate([x_fwd * feat_mask, z * z_scale], axis=-1)
+    y_fwd = _random_mlp(ks[8], g_in, 1, cfg.hidden)[:, 0]
+    sd_y = jnp.maximum(jnp.std(y_fwd), 1e-6)
+    noise_scale = 10.0 ** jax.random.uniform(ks[9], (), minval=-3.0, maxval=-0.3)
+    y_fwd = y_fwd + jax.random.normal(ks[10], (R,)) * noise_scale * sd_y
+
+    # =========== family B: SBI inverse problem ==============================
+    dth = cfg.max_theta_dim
+    theta = jax.random.normal(ks[11], (R, dth))
+    # Random target dim j and number of simulator-output features.
+    j = jax.random.randint(ks[12], (), 0, dth)
+    n_sim_feats = jnp.maximum(f_active - j, 1)
+    x_sim = _random_mlp(ks[13], theta, F, cfg.hidden)
+    sim_noise = 10.0 ** jax.random.uniform(ks[14], (), minval=-3.0, maxval=-0.5)
+    x_sim = x_sim + jax.random.normal(ks[15], (R, F)) * sim_noise * jnp.maximum(
+        jnp.std(x_sim), 1e-6
+    )
+    # Feature layout: columns [0, n_sim_feats) are simulator outputs,
+    # columns [n_sim_feats, n_sim_feats + j) are theta_{<j}.
+    theta_col = jnp.clip(col - n_sim_feats, 0, dth - 1)
+    theta_feats = jnp.take(theta, theta_col, axis=1)  # [R, F]
+    x_inv = jnp.where(col < n_sim_feats, x_sim, theta_feats)
+    f_active_inv = jnp.minimum(n_sim_feats + j, F)
+    feat_mask_inv = col < f_active_inv
+    y_inv = theta[:, j]
+
+    # =========== mixture selection ==========================================
+    is_inv = jax.random.bernoulli(ks[16], cfg.p_inverse)
+    x_all = jnp.where(is_inv, x_inv, x_fwd)
+    y_all = jnp.where(is_inv, y_inv, y_fwd)
+    feat_mask = jnp.where(is_inv, feat_mask_inv, feat_mask)
+
+    # =========== optional binarization (classifier calibration) ============
+    is_bin = jax.random.bernoulli(ks[17], cfg.p_binary)
+    thr_q = jax.random.uniform(ks[18], (), minval=0.15, maxval=0.85)
+    thr = jnp.quantile(y_all, thr_q)
+    y_all = jnp.where(is_bin, (y_all > thr).astype(y_all.dtype), y_all)
+
+    x_all = x_all * feat_mask
+    x_ctx, x_qry = x_all[: cfg.num_ctx], x_all[cfg.num_ctx :]
+    y_ctx, y_qry = y_all[: cfg.num_ctx], y_all[cfg.num_ctx :]
+    return x_ctx, y_ctx, x_qry, y_qry, feat_mask, ctx_mask
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def sample_tasks(rng: jax.Array, num_datasets: int, cfg: PriorConfig) -> TaskBatch:
+    """Batch of synthetic tasks: one jit-compiled call, data born on device."""
+    rngs = jax.random.split(rng, num_datasets)
+    out = jax.vmap(lambda r: _sample_one(r, cfg))(rngs)
+    return TaskBatch(*out)

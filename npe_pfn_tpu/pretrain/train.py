@@ -1,0 +1,218 @@
+"""Pretraining loop for TabICA on the synthetic task prior.
+
+One-off offline phase producing the frozen checkpoint the framework ships
+(the analog of TabPFN's published weights, reference pyproject.toml:15).
+Runs on a single TPU chip; data is generated on device every step (infinite
+fresh tasks — no dataloader, no overfitting, no host transfers).
+
+Scaling story: the step function is wrapped in jit with batch sharding over
+an optional data mesh axis (see npe_pfn_tpu.parallel); on one chip it's a
+plain jit. Loss = bar-distribution NLL over query rows in the same
+normalized space the inference path uses (regressor.compute_stats), so
+train/inference preprocessing match exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import bar_distribution as bar
+from ..models import regressor, transformer
+from ..models.config import TabICAConfig
+from ..models.regressor import TabICAModel
+from ..utils import pytree_io
+from . import prior
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    num_datasets: int = 32          # tasks per step
+    lr: float = 3e-4
+    warmup_steps: int = 2000
+    max_steps: int = 200_000
+    weight_decay: float = 1e-4
+    grad_clip: float = 1.0
+    b2: float = 0.95
+    seed: int = 0
+    val_every: int = 500
+    ckpt_every: int = 2000
+    log_every: int = 100
+
+
+def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=tcfg.lr,
+        warmup_steps=tcfg.warmup_steps,
+        decay_steps=tcfg.max_steps,
+        end_value=tcfg.lr * 0.05,
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(tcfg.grad_clip),
+        optax.adamw(schedule, b2=tcfg.b2, weight_decay=tcfg.weight_decay),
+    )
+
+
+def batch_loss(
+    cfg: TabICAConfig,
+    borders: jnp.ndarray,
+    params: Any,
+    batch: prior.TaskBatch,
+    remat: bool = True,
+) -> jnp.ndarray:
+    """Mean query-row NLL in context-normalized target space."""
+
+    def one(x_ctx, y_ctx, x_qry, y_qry, feat_mask, ctx_mask):
+        stats = regressor.compute_stats(x_ctx, y_ctx, ctx_mask)
+        xn_c = regressor.normalize_x(stats, x_ctx) * feat_mask[None, :]
+        yn_c = regressor.normalize_y(stats, y_ctx) * ctx_mask
+        xn_q = regressor.normalize_x(stats, x_qry) * feat_mask[None, :]
+        yn_q = regressor.normalize_y(stats, y_qry)
+        # Clip extreme normalized targets: beyond the bar range the tail
+        # gradient is quadratic and a single freak task can destabilize bf16.
+        yn_q = jnp.clip(yn_q, -cfg.bar_range, cfg.bar_range)
+        logits = transformer.forward(
+            cfg, params, xn_c, yn_c, xn_q, feat_mask, ctx_mask, remat
+        )
+        return bar.nll(borders, logits, yn_q)
+
+    nll = jax.vmap(one)(
+        batch.x_ctx, batch.y_ctx, batch.x_qry, batch.y_qry,
+        batch.feat_mask, batch.ctx_mask,
+    )
+    return jnp.mean(nll)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3, 4))
+def train_step(
+    cfg: TabICAConfig,
+    tcfg: TrainConfig,
+    pcfg: prior.PriorConfig,
+    params: Any,
+    opt_state: Any,
+    borders: jnp.ndarray,
+    rng: jax.Array,
+) -> Tuple[Any, Any, jnp.ndarray, jnp.ndarray]:
+    data_rng, rng = jax.random.split(rng)
+    batch = prior.sample_tasks(data_rng, tcfg.num_datasets, pcfg)
+    loss, grads = jax.value_and_grad(
+        lambda p: batch_loss(cfg, borders, p, batch)
+    )(params)
+    opt = make_optimizer(tcfg)
+    updates, opt_state = opt.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    gnorm = optax.global_norm(grads)
+    return params, opt_state, loss, gnorm
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def eval_step(
+    cfg: TabICAConfig,
+    params: Any,
+    pcfg: prior.PriorConfig,
+    borders: jnp.ndarray,
+    rng: jax.Array,
+) -> jnp.ndarray:
+    batch = prior.sample_tasks(rng, 32, pcfg)
+    return batch_loss(cfg, borders, params, batch, remat=False)
+
+
+def train(
+    cfg: TabICAConfig,
+    tcfg: TrainConfig,
+    pcfg: prior.PriorConfig,
+    ckpt_path: str,
+    resume: bool = True,
+    log_path: Optional[str] = None,
+    time_limit_s: Optional[float] = None,
+) -> TabICAModel:
+    """Full pretraining run with atomic checkpointing + resume."""
+    rng = jax.random.PRNGKey(tcfg.seed)
+    model = TabICAModel.create(rng, cfg)
+    params = model.params
+    opt = make_optimizer(tcfg)
+    opt_state = opt.init(params)
+    step = 0
+
+    state_path = ckpt_path + ".train_state.npz"
+    if resume and os.path.exists(state_path):
+        saved = pytree_io.load_pytree(state_path + ".meta.npz")
+        step = int(saved["step"])
+        params = pytree_io.restore_like(params, ckpt_path)
+        opt_state = pytree_io.restore_like(opt_state, state_path)
+        print(f"[pretrain] resumed at step {step}")
+
+    log_f = open(log_path, "a") if log_path else None
+    val_rng = jax.random.PRNGKey(10_000)
+    t_start = time.time()
+    t_last = t_start
+    loss_acc, n_acc = 0.0, 0
+
+    while step < tcfg.max_steps:
+        rng, step_rng = jax.random.split(rng)
+        params, opt_state, loss, gnorm = train_step(
+            cfg, tcfg, pcfg, params, opt_state, model.borders, step_rng
+        )
+        step += 1
+        loss_acc += float(loss)
+        n_acc += 1
+
+        if step % tcfg.log_every == 0:
+            now = time.time()
+            rate = tcfg.log_every / (now - t_last)
+            rec = {
+                "step": step,
+                "loss": loss_acc / n_acc,
+                "gnorm": float(gnorm),
+                "steps_per_s": rate,
+                "elapsed_s": now - t_start,
+            }
+            print(f"[pretrain] {json.dumps(rec)}", flush=True)
+            if log_f:
+                log_f.write(json.dumps(rec) + "\n")
+                log_f.flush()
+            loss_acc, n_acc = 0.0, 0
+            t_last = now
+
+        if step % tcfg.val_every == 0:
+            val = float(eval_step(cfg, params, pcfg, model.borders, val_rng))
+            rec = {"step": step, "val_nll": val}
+            print(f"[pretrain] {json.dumps(rec)}", flush=True)
+            if log_f:
+                log_f.write(json.dumps(rec) + "\n")
+                log_f.flush()
+
+        if step % tcfg.ckpt_every == 0 or step == tcfg.max_steps:
+            _save_all(ckpt_path, cfg, params, opt_state, step)
+
+        if time_limit_s and (time.time() - t_start) > time_limit_s:
+            print(f"[pretrain] time limit reached at step {step}")
+            break
+
+    _save_all(ckpt_path, cfg, params, opt_state, step)
+    if log_f:
+        log_f.close()
+    return TabICAModel(cfg=cfg, params=params, borders=model.borders)
+
+
+def _save_all(ckpt_path, cfg, params, opt_state, step):
+    from ..models import checkpoint as ckpt_mod
+
+    model = TabICAModel(
+        cfg=cfg, params=params, borders=bar.make_borders(cfg.num_bars, cfg.bar_range)
+    )
+    ckpt_mod.save(ckpt_path, model)
+    pytree_io.save_pytree(ckpt_path + ".train_state.npz", opt_state)
+    pytree_io.save_pytree(
+        ckpt_path + ".train_state.npz.meta.npz", {"step": jnp.array(step)}
+    )
+    print(f"[pretrain] checkpoint @ step {step} -> {ckpt_path}", flush=True)

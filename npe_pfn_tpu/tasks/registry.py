@@ -1,0 +1,210 @@
+"""Task definitions: (prior, simulator, dims, optional analytic posterior).
+
+Simulators are pure ``sim(rng, theta) -> x`` functions (jit/vmap-safe).
+Reference analogs: two moons (demo.ipynb cell 2), gaussian linear with
+analytic posterior ground truth (evaluate_ropefm.py:505-585 computes the
+analytic Gaussian posterior the same way), SLCP / Lotka-Volterra / SIR from
+BASELINE.json's config list.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..distributions import BoxUniform, Distribution, MultivariateNormal, Normal
+
+
+@dataclasses.dataclass
+class Task:
+    name: str
+    prior: Distribution
+    simulator: Callable[[jax.Array, jnp.ndarray], jnp.ndarray]
+    dim_theta: int
+    dim_x: int
+    # Analytic conditional posterior sampler, if one exists:
+    # (rng, x_o, n) -> [n, dim_theta]
+    posterior_sampler: Optional[Callable] = None
+
+    def simulate(self, rng: jax.Array, num: int):
+        """Draw (θ, x) pairs on device."""
+        k1, k2 = jax.random.split(rng)
+        theta = self.prior.sample(k1, (num,))
+        keys = jax.random.split(k2, num)
+        x = jax.jit(jax.vmap(self.simulator))(keys, theta)
+        return theta, x
+
+
+# --------------------------------------------------------------------------
+# Two Moons (2D θ, 2D x) — sbibm formulation; demo.ipynb cell 2 analog.
+# --------------------------------------------------------------------------
+
+
+def _two_moons_sim(rng, theta):
+    ka, kr = jax.random.split(rng)
+    alpha = jax.random.uniform(ka, (), minval=-math.pi / 2, maxval=math.pi / 2)
+    r = 0.1 + 0.01 * jax.random.normal(kr, ())
+    p = jnp.array([r * jnp.cos(alpha) + 0.25, r * jnp.sin(alpha)])
+    ang = jnp.array(
+        [
+            -jnp.abs(theta[0] + theta[1]) / jnp.sqrt(2.0),
+            (-theta[0] + theta[1]) / jnp.sqrt(2.0),
+        ]
+    )
+    return p + ang
+
+
+def two_moons() -> Task:
+    prior = BoxUniform(low=-jnp.ones(2), high=jnp.ones(2))
+    return Task("two_moons", prior, _two_moons_sim, 2, 2)
+
+
+# --------------------------------------------------------------------------
+# Gaussian Linear (10D) — analytic posterior available
+# (reference computes it at evaluate_ropefm.py:505-585).
+# --------------------------------------------------------------------------
+
+
+def gaussian_linear(dim: int = 10, prior_scale: float = 1.0, noise_scale: float = 0.6) -> Task:
+    prior = Normal(loc=jnp.zeros(dim), scale=prior_scale * jnp.ones(dim))
+
+    def sim(rng, theta):
+        return theta + noise_scale * jax.random.normal(rng, theta.shape)
+
+    # Conjugate posterior: N(x * s_p^2/(s_p^2+s_n^2), (1/s_p^2 + 1/s_n^2)^-1)
+    post_var = 1.0 / (1.0 / prior_scale**2 + 1.0 / noise_scale**2)
+    coef = post_var / noise_scale**2
+
+    def posterior_sampler(rng, x_o, n):
+        mu = coef * x_o
+        return mu + jnp.sqrt(post_var) * jax.random.normal(rng, (n, dim))
+
+    return Task(f"gaussian_linear_{dim}d", prior, sim, dim, dim, posterior_sampler)
+
+
+# --------------------------------------------------------------------------
+# SLCP (5D θ, 8D x): simple likelihood, complex posterior (sbibm).
+# --------------------------------------------------------------------------
+
+
+def _slcp_sim(rng, theta):
+    m = theta[:2]
+    s1 = theta[2] ** 2
+    s2 = theta[3] ** 2
+    rho = jnp.tanh(theta[4])
+    cov = jnp.array(
+        [[s1**2, rho * s1 * s2], [rho * s1 * s2, s2**2]]
+    ) + 1e-6 * jnp.eye(2)
+    chol = jnp.linalg.cholesky(cov)
+    eps = jax.random.normal(rng, (4, 2))
+    return (m[None, :] + eps @ chol.T).reshape(8)
+
+
+def slcp() -> Task:
+    prior = BoxUniform(low=-3.0 * jnp.ones(5), high=3.0 * jnp.ones(5))
+    return Task("slcp", prior, _slcp_sim, 5, 8)
+
+
+# --------------------------------------------------------------------------
+# Lotka-Volterra (4D θ) — ODE integrated with a fixed-step RK4 under scan
+# (jit/vmap on TPU; BASELINE.json config 4).
+# --------------------------------------------------------------------------
+
+
+def _lv_sim(rng, theta, t_max=20.0, num_steps=200, num_obs=10):
+    alpha, beta, gamma, delta = jnp.exp(theta)
+    dt = t_max / num_steps
+
+    def deriv(state):
+        x, y = state
+        dx = alpha * x - beta * x * y
+        dy = -gamma * y + delta * x * y
+        return jnp.array([dx, dy])
+
+    def rk4(state, _):
+        k1 = deriv(state)
+        k2 = deriv(state + 0.5 * dt * k1)
+        k3 = deriv(state + 0.5 * dt * k2)
+        k4 = deriv(state + dt * k3)
+        new = state + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+        new = jnp.clip(new, 1e-4, 1e4)
+        return new, new
+
+    init = jnp.array([30.0, 1.0])
+    _, traj = jax.lax.scan(rk4, init, None, length=num_steps)
+    idx = jnp.linspace(0, num_steps - 1, num_obs).astype(jnp.int32)
+    obs = traj[idx]  # [num_obs, 2]
+    noise = jax.random.normal(rng, obs.shape) * 0.1
+    return (jnp.log(obs + 1.0) + noise).reshape(-1)  # 20D summary
+
+
+def lotka_volterra() -> Task:
+    # Log-space priors around classical parameter magnitudes.
+    loc = jnp.log(jnp.array([0.8, 0.08, 0.8, 0.02]))
+    prior = Normal(loc=loc, scale=0.3 * jnp.ones(4))
+    return Task("lotka_volterra", prior, _lv_sim, 4, 20)
+
+
+# --------------------------------------------------------------------------
+# SIR epidemic model (2D θ: log beta, log gamma) — BASELINE.json config 5.
+# --------------------------------------------------------------------------
+
+
+def _sir_sim(rng, theta, population=1000.0, t_max=50.0, num_steps=200, num_obs=10):
+    beta, gamma = jnp.exp(theta)
+    dt = t_max / num_steps
+
+    def deriv(state):
+        s, i = state
+        ds = -beta * s * i / population
+        di = beta * s * i / population - gamma * i
+        return jnp.array([ds, di])
+
+    def rk4(state, _):
+        k1 = deriv(state)
+        k2 = deriv(state + 0.5 * dt * k1)
+        k3 = deriv(state + 0.5 * dt * k2)
+        k4 = deriv(state + dt * k3)
+        new = jnp.clip(state + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4), 0.0, population)
+        return new, new
+
+    init = jnp.array([population - 1.0, 1.0])
+    _, traj = jax.lax.scan(rk4, init, None, length=num_steps)
+    idx = jnp.linspace(0, num_steps - 1, num_obs).astype(jnp.int32)
+    infected = traj[idx, 1]
+    # Binomial-ish observation noise via Gaussian approx (smooth, jittable).
+    p = jnp.clip(infected / population, 1e-6, 1 - 1e-6)
+    n_trials = 1000.0
+    mean, sd = n_trials * p, jnp.sqrt(n_trials * p * (1 - p))
+    obs = mean + sd * jax.random.normal(rng, p.shape)
+    return obs / n_trials
+
+
+def sir() -> Task:
+    prior = Normal(
+        loc=jnp.array([jnp.log(0.4), jnp.log(0.125)]), scale=jnp.array([0.5, 0.2])
+    )
+    return Task("sir", prior, _sir_sim, 2, 10)
+
+
+_TASKS = {
+    "two_moons": two_moons,
+    "gaussian_linear": gaussian_linear,
+    "slcp": slcp,
+    "lotka_volterra": lotka_volterra,
+    "sir": sir,
+}
+
+
+def list_tasks():
+    return sorted(_TASKS)
+
+
+def get_task(name: str, **kwargs) -> Task:
+    if name not in _TASKS:
+        raise ValueError(f"unknown task {name!r}; available: {list_tasks()}")
+    return _TASKS[name](**kwargs)

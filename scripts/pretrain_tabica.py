@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Pretrain the TabICA tabular in-context transformer on synthetic prior tasks.
+
+This is the one-off offline phase that produces the frozen checkpoint shipped
+with the framework (the analog of the TabPFNv2 weights the reference pulls in
+as an external dependency). Run on TPU:
+
+    python scripts/pretrain_tabica.py --max_steps 100000 \
+        --ckpt checkpoints/tabica_v1.npz
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from npe_pfn_tpu.models.config import TabICAConfig
+from npe_pfn_tpu.pretrain import prior, train
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", default="checkpoints/tabica_v1.npz")
+    p.add_argument("--log", default="checkpoints/train_log.jsonl")
+    p.add_argument("--max_steps", type=int, default=200_000)
+    p.add_argument("--num_datasets", type=int, default=32)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--d_model", type=int, default=128)
+    p.add_argument("--num_layers", type=int, default=6)
+    p.add_argument("--num_heads", type=int, default=4)
+    p.add_argument("--num_bars", type=int, default=256)
+    p.add_argument("--max_features", type=int, default=32)
+    p.add_argument("--num_ctx", type=int, default=384)
+    p.add_argument("--num_qry", type=int, default=128)
+    p.add_argument("--time_limit_s", type=float, default=None)
+    p.add_argument("--no_resume", action="store_true")
+    args = p.parse_args()
+
+    cfg = TabICAConfig(
+        d_model=args.d_model,
+        num_heads=args.num_heads,
+        num_layers=args.num_layers,
+        max_features=args.max_features,
+        num_bars=args.num_bars,
+    )
+    tcfg = train.TrainConfig(
+        num_datasets=args.num_datasets,
+        lr=args.lr,
+        max_steps=args.max_steps,
+        seed=args.seed,
+    )
+    pcfg = prior.PriorConfig(
+        num_features=args.max_features,
+        num_ctx=args.num_ctx,
+        num_qry=args.num_qry,
+        max_active_features=min(24, args.max_features),
+    )
+
+    import jax
+
+    print(f"devices: {jax.devices()}")
+    from npe_pfn_tpu.models import transformer
+
+    n_params = transformer.param_count(transformer.init_params(jax.random.PRNGKey(0), cfg))
+    print(f"model params: {n_params/1e6:.2f}M")
+
+    train.train(
+        cfg,
+        tcfg,
+        pcfg,
+        ckpt_path=args.ckpt,
+        resume=not args.no_resume,
+        log_path=args.log,
+        time_limit_s=args.time_limit_s,
+    )
+
+
+if __name__ == "__main__":
+    main()
