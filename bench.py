@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Headline benchmark: autoregressive posterior sampling throughput.
+
+Target (BASELINE.md): 10k posterior samples on a 10D sbibm task in <10 s on
+a single chip. Reference baseline: the CPU reference samples at ~811 ms per
+posterior sample in its own saved benchmark
+(notebooks/sampling_comparison.ipynb, Strategy A: 8.11 s for 10 samples) →
+1.233 samples/s. vs_baseline = ours / reference.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from npe_pfn_tpu import NPEPFN
+    from npe_pfn_tpu.tasks import get_task
+
+    num_samples = 10_240
+    task = get_task("gaussian_linear", dim=10)
+
+    theta, x = task.simulate(jax.random.PRNGKey(0), 1000)
+    est = NPEPFN(
+        prior=task.prior,
+        filter_type="standardized_euclidean_filtering",
+        filter_context_size=512,
+        qry_chunk=1024,
+    )
+    est.append_simulations(theta, x)
+    x_o = x[0]
+
+    # Warm-up: compile the kernel (first TPU compile is slow and not the
+    # steady-state serving cost).
+    est.sample(num_samples, x_o, rng=jax.random.PRNGKey(1), max_iters=1)
+
+    t0 = time.perf_counter()
+    samples = est.sample(num_samples, x_o, rng=jax.random.PRNGKey(2), max_iters=1)
+    jax.block_until_ready(samples)
+    elapsed = time.perf_counter() - t0
+
+    throughput = num_samples / elapsed
+    baseline_throughput = 10.0 / 8.11  # reference Strategy A, saved output
+    print(
+        json.dumps(
+            {
+                "metric": "posterior_samples_per_sec_10d_gaussian_linear_1chip",
+                "value": round(throughput, 2),
+                "unit": "samples/s",
+                "vs_baseline": round(throughput / baseline_throughput, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

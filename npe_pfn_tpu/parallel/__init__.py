@@ -1,0 +1,6 @@
+from .mesh import (  # noqa: F401
+    get_mesh,
+    make_sharded_train_step,
+    shard_batch,
+    sharded_autoregressive_sample,
+)
