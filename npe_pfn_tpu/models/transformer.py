@@ -117,22 +117,30 @@ def _ln(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return (x32 - mu) * jax.lax.rsqrt(var + 1e-6) * p["scale"] + p["bias"]
 
 
-def _attn(
+def _project_kv(cfg: TabICAConfig, p: Params, kv_in: jnp.ndarray):
+    """K/V projections, separated so the context's K/V can be cached once
+    per autoregressive dimension instead of recomputed per query chunk."""
+    dt = jnp.dtype(cfg.dtype)
+    k = jnp.einsum("...ld,dhk->...lhk", kv_in.astype(dt), p["wk"].astype(dt))
+    v = jnp.einsum("...ld,dhk->...lhk", kv_in.astype(dt), p["wv"].astype(dt))
+    return k, v
+
+
+def _attn_core(
     cfg: TabICAConfig,
     p: Params,
     q_in: jnp.ndarray,
-    kv_in: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
     kv_mask: Optional[jnp.ndarray],
 ) -> jnp.ndarray:
-    """Multi-head attention, batch-agnostic.
+    """Multi-head attention against precomputed K/V, batch-agnostic.
 
-    q_in: [..., Lq, D]; kv_in: [..., Lk, D]; kv_mask: broadcastable [... , Lk].
+    q_in: [..., Lq, D]; k, v: [..., Lk, H, hd]; kv_mask broadcastable [..., Lk].
     """
     dt = jnp.dtype(cfg.dtype)
     scale = cfg.head_dim**-0.5
     q = jnp.einsum("...ld,dhk->...lhk", q_in.astype(dt), p["wq"].astype(dt))
-    k = jnp.einsum("...ld,dhk->...lhk", kv_in.astype(dt), p["wk"].astype(dt))
-    v = jnp.einsum("...ld,dhk->...lhk", kv_in.astype(dt), p["wv"].astype(dt))
     logits = jnp.einsum(
         "...qhd,...khd->...hqk", q, k, preferred_element_type=jnp.float32
     ) * scale
@@ -144,6 +152,17 @@ def _attn(
         "...qhd,hdm->...qm", out, p["wo"].astype(dt), preferred_element_type=jnp.float32
     )
     return out + p["bo"]
+
+
+def _attn(
+    cfg: TabICAConfig,
+    p: Params,
+    q_in: jnp.ndarray,
+    kv_in: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    k, v = _project_kv(cfg, p, kv_in)
+    return _attn_core(cfg, p, q_in, k, v, kv_mask)
 
 
 def _mlp(cfg: TabICAConfig, p: Params, x: jnp.ndarray) -> jnp.ndarray:
@@ -180,28 +199,35 @@ def _mlp_step(cfg, p, h):
 
 
 def _block_ctx(cfg, p, h_ctx, token_mask, ctx_mask):
-    """Context rows through one block; returns new state + row-attn cache."""
+    """Context rows through one block; returns new state + row-attn K/V
+    cache (the projected keys/values queries will attend to)."""
     h_ctx = _feat_attn_step(cfg, p, h_ctx, token_mask)
     hc = jnp.swapaxes(h_ctx, -3, -2)  # [..., T, N, D]
     hc_n = _ln(p["ln_row"], hc).astype(jnp.dtype(cfg.dtype))
-    hc = _res_add(cfg, hc, _attn(cfg, p["row_attn"], hc_n, hc_n, ctx_mask[..., None, :]))
+    k, v = _project_kv(cfg, p["row_attn"], hc_n)
+    hc = _res_add(
+        cfg, hc, _attn_core(cfg, p["row_attn"], hc_n, k, v, ctx_mask[..., None, :])
+    )
     h_ctx = jnp.swapaxes(hc, -3, -2)
-    return _mlp_step(cfg, p, h_ctx), hc_n
+    return _mlp_step(cfg, p, h_ctx), (k, v)
 
 
-def _block_qry(cfg, p, h_qry, hc_n, token_mask, ctx_mask):
-    """Query rows through one block against cached context states hc_n."""
+def _block_qry(cfg, p, h_qry, kv_cache, token_mask, ctx_mask):
+    """Query rows through one block against the cached context K/V."""
+    k, v = kv_cache
     h_qry = _feat_attn_step(cfg, p, h_qry, token_mask)
     hq = jnp.swapaxes(h_qry, -3, -2)  # [..., T, Q, D]
     hq_n = _ln(p["ln_row"], hq).astype(jnp.dtype(cfg.dtype))
-    hq = _res_add(cfg, hq, _attn(cfg, p["row_attn"], hq_n, hc_n, ctx_mask[..., None, :]))
+    hq = _res_add(
+        cfg, hq, _attn_core(cfg, p["row_attn"], hq_n, k, v, ctx_mask[..., None, :])
+    )
     h_qry = jnp.swapaxes(hq, -3, -2)
     return _mlp_step(cfg, p, h_qry)
 
 
 def _block_joint(cfg, p, h_ctx, h_qry, token_mask, ctx_mask):
-    h_ctx, hc_n = _block_ctx(cfg, p, h_ctx, token_mask, ctx_mask)
-    h_qry = _block_qry(cfg, p, h_qry, hc_n, token_mask, ctx_mask)
+    h_ctx, kv = _block_ctx(cfg, p, h_ctx, token_mask, ctx_mask)
+    h_qry = _block_qry(cfg, p, h_qry, kv, token_mask, ctx_mask)
     return h_ctx, h_qry
 
 
@@ -287,17 +313,18 @@ def encode_context(
     y_ctx: jnp.ndarray,
     feat_mask: Optional[jnp.ndarray] = None,
     ctx_mask: Optional[jnp.ndarray] = None,
-) -> jnp.ndarray:
-    """Encode context once; returns the per-layer row-attention cache
-    [L, ..., T, N, D]. This is the analog of the reference's per-dimension
-    ``model.fit`` (npe_pfn.py:140) — but it is pure and reusable across any
-    number of query chunks."""
+):
+    """Encode context once; returns the per-layer row-attention K/V cache
+    ``(k, v)`` each of shape [L, ..., T, N, H, hd]. This is the analog of the
+    reference's per-dimension ``model.fit`` (npe_pfn.py:140) — but it is pure
+    and reusable across any number of query chunks, and caching the projected
+    K/V removes all per-chunk context compute from the decode path."""
     feat_mask, token_mask, ctx_mask = _masks(x_ctx, x_ctx[..., :0, :], feat_mask, ctx_mask)
     h_ctx = _embed_ctx(cfg, params["embed"], x_ctx, y_ctx, feat_mask)
 
     def body(hc, p):
-        hc, hc_n = _block_ctx(cfg, p, hc, token_mask, ctx_mask)
-        return hc, hc_n
+        hc, kv = _block_ctx(cfg, p, hc, token_mask, ctx_mask)
+        return hc, kv
 
     _, cache = jax.lax.scan(body, h_ctx, params["blocks"])
     return cache
@@ -307,14 +334,14 @@ def encode_context(
 def decode_queries(
     cfg: TabICAConfig,
     params: Params,
-    cache: jnp.ndarray,  # [L, ..., T, N, D] from encode_context
+    cache,  # (k, v) each [L, ..., T, N, H, hd] from encode_context
     x_qry: jnp.ndarray,  # [..., Q, F]
     feat_mask: Optional[jnp.ndarray] = None,
     ctx_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Run query rows against a cached context. Analog of the reference's
     ``model.predict`` (npe_pfn.py:143), batched over all query rows."""
-    n = cache.shape[-2]
+    n = cache[0].shape[-3]
     if ctx_mask is None:
         ctx_mask = jnp.ones(x_qry.shape[:-2] + (n,), bool)
     f = x_qry.shape[-1]
@@ -326,8 +353,8 @@ def decode_queries(
     h_qry = _embed_qry(cfg, params["embed"], x_qry, feat_mask)
 
     def body(hq, layer):
-        p, hc_n = layer
-        hq = _block_qry(cfg, p, hq, hc_n, token_mask, ctx_mask)
+        p, kv = layer
+        hq = _block_qry(cfg, p, hq, kv, token_mask, ctx_mask)
         return hq, None
 
     h_qry, _ = jax.lax.scan(body, h_qry, (params["blocks"], cache))

@@ -165,6 +165,12 @@ def train(
         step += 1
         loss_acc += float(loss)
         n_acc += 1
+        if step == 1 or (step < tcfg.log_every and step % 10 == 0):
+            print(
+                f"[pretrain] step {step} loss {loss_acc / n_acc:.4f} "
+                f"({time.time() - t_start:.1f}s elapsed)",
+                flush=True,
+            )
 
         if step % tcfg.log_every == 0:
             now = time.time()
