@@ -45,6 +45,12 @@ class TabICAConfig:
     dropout: float = 0.0
     # Compute dtype for matmuls ("bfloat16" on TPU, "float32" for tests).
     dtype: str = "bfloat16"
+    # Row-axis flash attention (Pallas): "auto" enables it on TPU for long
+    # contexts, "on"/"off" force it. Static jit argument — switching it
+    # retraces, as it must.
+    flash: str = "auto"
+    # Run the Pallas kernel in interpreter mode (CPU tests only).
+    flash_interpret: bool = False
 
     @property
     def head_dim(self) -> int:

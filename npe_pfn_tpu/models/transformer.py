@@ -165,6 +165,48 @@ def _attn(
     return _attn_core(cfg, p, q_in, k, v, kv_mask)
 
 
+# Flash-attention dispatch for the row axis. "auto" uses the Pallas kernel
+# on TPU once the context is long enough that materializing [T, H, Lq, N]
+# logits hurts; "on"/"off" force it. The mode lives on TabICAConfig (a
+# static jit argument), so switching it correctly retraces.
+_FLASH_AUTO_MIN_KV = 2048
+
+
+def _flash_applicable(cfg: TabICAConfig, q_in: jnp.ndarray, kv_len: int) -> bool:
+    if cfg.flash == "off" or q_in.ndim != 3:
+        return False
+    if cfg.flash == "on":
+        return True
+    return jax.default_backend() == "tpu" and kv_len >= _FLASH_AUTO_MIN_KV
+
+
+def _attn_core_flash(
+    cfg: TabICAConfig,
+    p: Params,
+    q_in: jnp.ndarray,  # [T, Lq, D]
+    k: jnp.ndarray,  # [T, Lk, H, hd]
+    v: jnp.ndarray,
+    kv_mask_1d: jnp.ndarray,  # [Lk]
+) -> jnp.ndarray:
+    from ..ops.flash_attention import flash_row_attention
+
+    dt = jnp.dtype(cfg.dtype)
+    q = jnp.einsum("tld,dhk->tlhk", q_in.astype(dt), p["wq"].astype(dt))
+    out = flash_row_attention(q, k, v, kv_mask_1d, interpret=cfg.flash_interpret)
+    out = jnp.einsum(
+        "tlhd,hdm->tlm", out, p["wo"].astype(dt), preferred_element_type=jnp.float32
+    )
+    return out + p["bo"]
+
+
+def _row_attn(cfg, p, q_in, k, v, ctx_mask):
+    """Row-axis attention with flash dispatch. ctx_mask: [..., N] (1-D when
+    unbatched — the only case the Pallas kernel handles)."""
+    if _flash_applicable(cfg, q_in, k.shape[-3]) and ctx_mask.ndim == 1:
+        return _attn_core_flash(cfg, p, q_in, k, v, ctx_mask)
+    return _attn_core(cfg, p, q_in, k, v, ctx_mask[..., None, :])
+
+
 def _mlp(cfg: TabICAConfig, p: Params, x: jnp.ndarray) -> jnp.ndarray:
     dt = jnp.dtype(cfg.dtype)
     h = jnp.einsum("...d,dk->...k", x.astype(dt), p["w1"].astype(dt)) + p["b1"]
@@ -205,9 +247,7 @@ def _block_ctx(cfg, p, h_ctx, token_mask, ctx_mask):
     hc = jnp.swapaxes(h_ctx, -3, -2)  # [..., T, N, D]
     hc_n = _ln(p["ln_row"], hc).astype(jnp.dtype(cfg.dtype))
     k, v = _project_kv(cfg, p["row_attn"], hc_n)
-    hc = _res_add(
-        cfg, hc, _attn_core(cfg, p["row_attn"], hc_n, k, v, ctx_mask[..., None, :])
-    )
+    hc = _res_add(cfg, hc, _row_attn(cfg, p["row_attn"], hc_n, k, v, ctx_mask))
     h_ctx = jnp.swapaxes(hc, -3, -2)
     return _mlp_step(cfg, p, h_ctx), (k, v)
 
@@ -218,9 +258,7 @@ def _block_qry(cfg, p, h_qry, kv_cache, token_mask, ctx_mask):
     h_qry = _feat_attn_step(cfg, p, h_qry, token_mask)
     hq = jnp.swapaxes(h_qry, -3, -2)  # [..., T, Q, D]
     hq_n = _ln(p["ln_row"], hq).astype(jnp.dtype(cfg.dtype))
-    hq = _res_add(
-        cfg, hq, _attn_core(cfg, p["row_attn"], hq_n, k, v, ctx_mask[..., None, :])
-    )
+    hq = _res_add(cfg, hq, _row_attn(cfg, p["row_attn"], hq_n, k, v, ctx_mask))
     h_qry = jnp.swapaxes(hq, -3, -2)
     return _mlp_step(cfg, p, h_qry)
 

@@ -1,0 +1,175 @@
+"""Pallas TPU flash attention for TabICA's row axis.
+
+The row-axis attention is the framework's hot op: every autoregressive
+dimension attends Q query rows (observations × samples, up to ~10⁴) and N
+context rows against N context rows, independently for each of T=F+1 column
+tokens. The XLA path materializes [T, H, Lq, N] logits in HBM — fine for
+N ≤ ~2k, prohibitive at the reference's 10k-row context ceiling
+(docs/sample_batched_implementation.md:245). This kernel computes softmax
+online in VMEM (flash-attention style), so memory is O(Bq·Bk) per program
+and the context ceiling is lifted to HBM capacity.
+
+Layout notes (see /opt/skills/guides/pallas_guide.md):
+- grid = (B·H, Lq/Bq, Lk/Bk) with the key axis innermost; running max/sum
+  and the output accumulator live in VMEM scratch that persists across the
+  innermost grid dimension; output is written at the last key block.
+- head_dim (32) is below the 128-lane width; scores [Bq, Bk] dominate the
+  MXU work and are fully aligned. K/V tiles stream through VMEM.
+- the context-row mask rides a [1, Bk] block and lands as -inf before the
+  online max update, preserving exact padded-row semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _flash_kernel(
+    q_ref,  # [1, Bq, 1, hd]
+    k_ref,  # [1, Bk, 1, hd]
+    v_ref,  # [1, Bk, 1, hd]
+    mask_ref,  # [1, Bk] float32 (1.0 = real row)
+    out_ref,  # [1, Bq, 1, hd]
+    m_scratch,  # [Bq, 128] f32
+    l_scratch,  # [Bq, 128] f32
+    acc_scratch,  # [Bq, hd] f32
+    *,
+    scale: float,
+    num_k_blocks: int,
+):
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, _NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0, :, 0, :]  # [Bq, hd]
+    k = k_ref[0, :, 0, :]  # [Bk, hd]
+    v = v_ref[0, :, 0, :]  # [Bk, hd]
+    mask = mask_ref[0, :]  # [Bk]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [Bq, Bk]
+    s = s + (1.0 - mask)[None, :] * _NEG_INF
+
+    m_prev = m_scratch[:, :1]  # [Bq, 1]
+    l_prev = l_scratch[:, :1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)  # [Bq, 1]
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)  # rescale of old accumulator
+    p = jnp.exp(s - m_new)  # [Bq, Bk]
+    l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Bq, hd]
+    acc_scratch[:] = acc_scratch[:] * alpha + pv
+    m_scratch[:, :1] = m_new
+    l_scratch[:, :1] = l_new
+
+    @pl.when(kb == num_k_blocks - 1)
+    def _finalize():
+        out_ref[0, :, 0, :] = (
+            acc_scratch[:] / jnp.maximum(l_scratch[:, :1], 1e-30)
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def flash_row_attention(
+    q: jnp.ndarray,  # [B, Lq, H, hd]
+    k: jnp.ndarray,  # [B, Lk, H, hd]
+    v: jnp.ndarray,  # [B, Lk, H, hd]
+    kv_mask: jnp.ndarray,  # [Lk] bool — context-row validity
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Softmax(q·kᵀ + mask)·v with online softmax; returns [B, Lq, H, hd].
+
+    B is the flattened (column-token) batch; H heads ride the grid. Lq and
+    Lk are padded up to block multiples internally.
+    """
+    b, lq, h, hd = q.shape
+    lk = k.shape[1]
+    scale = hd**-0.5
+
+    block_q = min(block_q, _round_up(lq, 8))
+    block_k = min(block_k, _round_up(lk, 8))
+    lq_p = _round_up(lq, block_q)
+    lk_p = _round_up(lk, block_k)
+    if lq_p != lq:
+        q = jnp.pad(q, ((0, 0), (0, lq_p - lq), (0, 0), (0, 0)))
+    if lk_p != lk:
+        k = jnp.pad(k, ((0, 0), (0, lk_p - lk), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, lk_p - lk), (0, 0), (0, 0)))
+    mask_f = jnp.pad(kv_mask.astype(jnp.float32), (0, lk_p - lk))[None, :]
+
+    num_k_blocks = lk_p // block_k
+    grid = (b * h, lq_p // block_q, num_k_blocks)
+
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, num_k_blocks=num_k_blocks
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, 1, hd),
+                lambda i, iq, ik: (i // h, iq, i % h, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_k, 1, hd),
+                lambda i, iq, ik: (i // h, ik, i % h, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_k, 1, hd),
+                lambda i, iq, ik: (i // h, ik, i % h, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_k),
+                lambda i, iq, ik: (0, ik),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, 1, hd),
+            lambda i, iq, ik: (i // h, iq, i % h, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, lq_p, h, hd), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, hd), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, mask_f)
+    return out[:, :lq]
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def reference_row_attention(q, k, v, kv_mask):
+    """Pure-jnp reference for kernel parity tests."""
+    scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+    s = jnp.where(kv_mask[None, None, None, :], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v)
