@@ -1,0 +1,131 @@
+"""Evaluation harness: the TPU rebuild of the reference's eval scripts.
+
+Reference analogs: evaluate_ropefm.py / evaluate_ropefm_batched.py — per
+task, for each calibration-set size and seed, fit the estimator on num_cal
+sims, sample the posterior for a batch of test observations via
+sample_batched, and score against ground truth (evaluate_ropefm.py:470-943).
+
+Differences:
+- tasks are generated on device by jittable simulators (the reference loads
+  fixed .pt data artifacts, evaluate_ropefm.py:327-380, which don't exist
+  here);
+- conditional metrics use the analytic posterior when the task has one
+  (gaussian_linear — the reference computes the same analytic posterior at
+  evaluate_ropefm.py:505-585); otherwise the standard SBI *joint* diagnostic
+  {(θ̂, x*)} vs {(θ*, x*)} (evaluate_ropefm.py:648-710 semantics);
+- partial results are checkpointed after every (num_cal, seed) cell exactly
+  like the reference (evaluate_ropefm.py:937-941), so preempted runs resume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..estimator import NPEPFN
+from ..tasks import Task, get_task
+from . import metrics as M
+
+
+def _cell_key(num_cal: int, seed: int) -> str:
+    return f"num_cal={num_cal}/seed={seed}"
+
+
+def evaluate_task(
+    task: Task,
+    num_cal_grid: Sequence[int] = (10, 50, 200, 1000),
+    seeds: Sequence[int] = (0, 1, 2, 3, 4),
+    num_test: int = 128,
+    num_posterior_samples: int = 256,
+    estimator_kwargs: Optional[dict] = None,
+    results_path: Optional[str] = None,
+    metric_subsample: int = 512,
+) -> Dict:
+    """Full grid evaluation; returns (and optionally checkpoints) results."""
+    estimator_kwargs = dict(estimator_kwargs or {})
+    results: Dict = {"task": task.name, "cells": {}}
+    if results_path and os.path.exists(results_path):
+        with open(results_path) as f:
+            results = json.load(f)
+
+    for seed in seeds:
+        rng = jax.random.PRNGKey(seed)
+        k_cal, k_test, k_post, k_metric, k_gt = jax.random.split(rng, 5)
+        theta_test, x_test = task.simulate(k_test, num_test)
+
+        for num_cal in num_cal_grid:
+            key = _cell_key(num_cal, seed)
+            if key in results["cells"]:
+                continue
+            t0 = time.time()
+            theta_cal, x_cal = task.simulate(jax.random.fold_in(k_cal, num_cal), num_cal)
+            est = NPEPFN(prior=task.prior, **estimator_kwargs)
+            est.append_simulations(theta_cal, x_cal)
+
+            cell: Dict = {"wall_s": None}
+            if task.posterior_sampler is not None:
+                # Conditional metrics vs analytic posterior, averaged over a
+                # few test observations (evaluate_ropefm.py:592-641 analog).
+                n_obs_eval = min(8, num_test)
+                c2sts, w2s, mmds = [], [], []
+                for j in range(n_obs_eval):
+                    kj = jax.random.fold_in(k_post, j)
+                    post = est.sample(num_posterior_samples, x_test[j], rng=kj)
+                    gt = task.posterior_sampler(
+                        jax.random.fold_in(k_gt, j), x_test[j], num_posterior_samples
+                    )
+                    c2sts.append(float(M.c2st(jax.random.fold_in(k_metric, j), post, gt)))
+                    w2s.append(float(M.sinkhorn_w2(post, gt)))
+                    mmds.append(float(M.mmd(post, gt)))
+                cell["c2st"] = float(np.mean(c2sts))
+                cell["wasserstein"] = float(np.mean(w2s))
+                cell["mmd"] = float(np.mean(mmds))
+            else:
+                # Joint diagnostic: one posterior draw per test obs; compare
+                # {(θ̂, x*)} against {(θ*, x*)} (evaluate_ropefm.py:648-710).
+                post = est.sample_batched(1, x_test, rng=k_post)[:, 0, :]
+                joint_est = jnp.concatenate([post, x_test], axis=1)
+                joint_true = jnp.concatenate([theta_test, x_test], axis=1)
+                n = min(metric_subsample, num_test)
+                cell["c2st"] = float(M.c2st(k_metric, joint_est[:n], joint_true[:n]))
+                cell["wasserstein"] = float(M.sinkhorn_w2(post[:n], theta_test[:n]))
+                cell["mmd"] = float(M.mmd(post[:n], theta_test[:n]))
+            cell["wall_s"] = time.time() - t0
+            results["cells"][key] = cell
+            print(f"[eval] {task.name} {key}: {cell}", flush=True)
+            if results_path:
+                _atomic_json(results_path, results)
+    return results
+
+
+def _atomic_json(path: str, obj) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=2)
+    os.replace(tmp, path)
+
+
+def summarize(results: Dict) -> Dict:
+    """Mean ± std per num_cal across seeds (plot_batched_results.py analog)."""
+    agg: Dict = {}
+    for key, cell in results["cells"].items():
+        num_cal = int(key.split("/")[0].split("=")[1])
+        agg.setdefault(num_cal, []).append(cell)
+    out = {}
+    for num_cal, cells in sorted(agg.items()):
+        out[num_cal] = {
+            m: {
+                "mean": float(np.mean([c[m] for c in cells])),
+                "std": float(np.std([c[m] for c in cells])),
+            }
+            for m in ("c2st", "wasserstein", "mmd")
+            if all(m in c for c in cells)
+        }
+    return out

@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""CLI evaluation harness (reference: scripts/evaluate_ropefm.py:968-1125 /
+evaluate_ropefm_batched.py:922-1049 analog).
+
+    python scripts/evaluate_tasks.py --tasks two_moons gaussian_linear \
+        --num_cal 10 50 200 1000 --seeds 0 1 2 3 4 --out results/
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--tasks", nargs="+", default=["two_moons", "gaussian_linear"])
+    p.add_argument("--num_cal", nargs="+", type=int, default=[10, 50, 200, 1000])
+    p.add_argument("--seeds", nargs="+", type=int, default=[0, 1, 2, 3, 4])
+    p.add_argument("--num_test", type=int, default=128)
+    p.add_argument("--num_posterior_samples", type=int, default=256)
+    p.add_argument("--filter_context_size", type=int, default=512)
+    p.add_argument("--qry_chunk", type=int, default=1024)
+    p.add_argument("--out", default="results")
+    args = p.parse_args()
+
+    from npe_pfn_tpu.eval import harness
+    from npe_pfn_tpu.tasks import get_task
+
+    for name in args.tasks:
+        task = get_task(name)
+        path = os.path.join(args.out, f"{task.name}.json")
+        results = harness.evaluate_task(
+            task,
+            num_cal_grid=args.num_cal,
+            seeds=args.seeds,
+            num_test=args.num_test,
+            num_posterior_samples=args.num_posterior_samples,
+            estimator_kwargs={
+                "filter_context_size": args.filter_context_size,
+                "qry_chunk": args.qry_chunk,
+            },
+            results_path=path,
+        )
+        summary = harness.summarize(results)
+        with open(os.path.join(args.out, f"{task.name}.summary.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+        print(json.dumps({task.name: summary}, indent=2))
+
+
+if __name__ == "__main__":
+    main()
