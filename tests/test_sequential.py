@@ -1,0 +1,139 @@
+"""Sequential-inference stack: PosteriorSupport (both modes), TSNPE driver,
+RestrictedPrior, UnconditionalEstimator — statistical-integration style like
+the reference (tests/test_support_posterior.py:14-70)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import npe_pfn_tpu as npt
+from npe_pfn_tpu.models import TabICAConfig, TabICAModel
+
+CFG = TabICAConfig(
+    d_model=32, num_heads=2, num_layers=2, max_features=8, num_bars=32, dtype="float32"
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return TabICAModel.create(jax.random.PRNGKey(0), CFG)
+
+
+@pytest.fixture(scope="module")
+def task():
+    return npt.tasks.get_task("two_moons")
+
+
+@pytest.fixture(scope="module")
+def fitted_estimator(model, task):
+    theta, x = task.simulate(jax.random.PRNGKey(1), 400)
+    est = npt.NPEPFN(
+        prior=task.prior, model=model, filter_context_size=128, qry_chunk=64
+    )
+    est.append_simulations(theta, x)
+    return est, x[0]
+
+
+@pytest.mark.parametrize("method", ["rejection", "sir"])
+def test_posterior_support(fitted_estimator, task, method):
+    est, x_o = fitted_estimator
+    support = npt.PosteriorSupport(
+        prior=task.prior,
+        posterior=est,
+        x_o=x_o,
+        rng=jax.random.PRNGKey(2),
+        num_samples_to_estimate_support=128,
+        sampling_method=method,
+        oversample_sir=4,
+        batch_size=512,
+        max_iters=4,
+    )
+    samples, acc = support.sample(jax.random.PRNGKey(3), (64,), return_acceptance_rate=True)
+    assert samples.shape == (64, 2)
+    assert np.all(np.isfinite(np.asarray(samples)))
+    assert 0 <= acc <= 1
+    lp = support.log_prob(samples[:8])
+    assert lp.shape == (8,)
+
+
+def test_prereject_uniform_shortcut(task):
+    """BoxUniform proposal -> direct intersected-box sampling, no rejection
+    (support_posterior.py:295-307 semantics)."""
+    lo, hi = jnp.array([-0.5, -0.5]), jnp.array([0.5, 0.5])
+    out = npt.prereject_with_bounds(jax.random.PRNGKey(4), task.prior, 256, lo, hi)
+    assert out.shape == (256, 2)
+    assert np.all(np.asarray(out) >= -0.5) and np.all(np.asarray(out) <= 0.5)
+
+
+def test_tsnpe_runs_and_accumulates(model, task):
+    est = npt.run_tsnpe(
+        task.simulator, task.prior, jnp.zeros(2),
+        num_rounds=2, num_simulations=200, rng=jax.random.PRNGKey(5),
+        model=model, filter_context_size=64, qry_chunk=64,
+        num_samples_to_estimate_support=64, support_batch_size=256,
+    )
+    assert est.num_simulations == 200  # both rounds accumulated
+    s = est.sample(16, jnp.zeros(2), rng=jax.random.PRNGKey(6))
+    assert s.shape == (16, 2)
+
+
+def test_tsnpe_single_round_is_plain_npe(model, task):
+    """num_rounds=1 degrades to plain NPE-PFN (tsnpe_pfn.py:56-58)."""
+    est, proposals = npt.run_tsnpe(
+        task.simulator, task.prior, jnp.zeros(2),
+        num_rounds=1, num_simulations=100, rng=jax.random.PRNGKey(7),
+        model=model, filter_context_size=64, qry_chunk=64,
+        return_proposals=True,
+    )
+    assert len(proposals) == 1 and proposals[0] is task.prior
+
+
+def test_restricted_prior(model, task):
+    rp = npt.RestrictedPrior(task.prior, model=model, max_context=64, batch_size=256)
+    theta = task.prior.sample(jax.random.PRNGKey(8), (200,))
+    labels = (theta[:, 0] > 0).astype(jnp.float32)
+    rp.append_simulations(theta, labels)
+    s = rp.sample(jax.random.PRNGKey(9), (32,))
+    assert s.shape == (32, 2)
+    lp = rp.log_prob(s)
+    assert np.all(np.isfinite(np.asarray(lp)))  # accepted points: prior density
+
+
+def test_unconditional_estimator(model):
+    theta = jnp.concatenate(
+        [
+            jax.random.normal(jax.random.PRNGKey(10), (150, 2)) - 2.0,
+            jax.random.normal(jax.random.PRNGKey(11), (150, 2)) + 2.0,
+        ]
+    )
+    ue = npt.UnconditionalEstimator(
+        num_clusters=2, model=model, context_size=64, qry_chunk=64
+    )
+    ue.append_simulations(theta)
+    s = ue.sample(48, rng=jax.random.PRNGKey(12))
+    assert s.shape == (48, 2)
+    lp = ue.log_prob(s[:16])
+    assert lp.shape == (16,) and np.all(np.isfinite(np.asarray(lp)))
+
+
+def test_unconditional_min_cluster_size(model):
+    """Too many clusters for the data errors like the reference's assert
+    (npe_pfn.py:797; xfail spec tests/test_npe_pfn.py:285-287)."""
+    theta = jnp.zeros((5, 2)) + jax.random.normal(jax.random.PRNGKey(13), (5, 2)) * 0.01
+    ue = npt.UnconditionalEstimator(num_clusters=5, model=model, context_size=16, qry_chunk=16)
+    with pytest.raises(ValueError, match="cluster"):
+        ue.append_simulations(theta)
+
+
+def test_task_registry():
+    """Priors/simulators sanity across the registry (scripts/test_priors.py
+    analog)."""
+    for name in npt.tasks.list_tasks():
+        task = npt.tasks.get_task(name)
+        theta, x = task.simulate(jax.random.PRNGKey(14), 16)
+        assert theta.shape == (16, task.dim_theta), name
+        assert x.shape == (16, task.dim_x), name
+        lp = task.prior.log_prob(theta)
+        assert np.all(np.isfinite(np.asarray(lp))), name
+        assert bool(task.prior.support_check(theta).all()), name
