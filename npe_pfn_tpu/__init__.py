@@ -16,8 +16,9 @@ TabPFN_Based_Uncond_Estimator, ``run_tsnpe`` ≙ run_tsnpe_pfn.
 
 __version__ = "0.1.0"
 
-from . import distributions, filters, models, tasks  # noqa: F401
+from . import distributions, embeddings, filters, models, tasks  # noqa: F401
 from .estimator import NPEPFN, DensityRatioEstimator  # noqa: F401
+from .rejection import accept_reject_sample  # noqa: F401
 from .restricted_prior import RestrictedPrior  # noqa: F401
 from .support import PosteriorSupport, prereject_with_bounds  # noqa: F401
 from .tsnpe import run_tsnpe, simulate_for_sbi  # noqa: F401
@@ -29,10 +30,12 @@ __all__ = [
     "PosteriorSupport",
     "RestrictedPrior",
     "UnconditionalEstimator",
+    "accept_reject_sample",
     "run_tsnpe",
     "simulate_for_sbi",
     "prereject_with_bounds",
     "distributions",
+    "embeddings",
     "filters",
     "models",
     "tasks",

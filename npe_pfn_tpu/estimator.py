@@ -392,33 +392,18 @@ class NPEPFN:
         ctx_rng, rng = jax.random.split(rng)
         theta_ctx, x_ctx, ctx_mask = self.get_context(x, ctx_rng)
 
-        accepted, acc_lps = [], []
-        total_drawn, total_accepted = 0, 0
-        remaining = num_samples
-        last_theta, last_lp = None, None
-        for _ in range(max_iters):
-            rng, draw_rng = jax.random.split(rng)
-            theta, lp = self._raw_sample(
-                draw_rng, x, num_samples, theta_ctx, x_ctx, ctx_mask
-            )
-            mask = np.asarray(self._within_support(theta))
-            last_theta, last_lp = theta, lp
-            idx = np.nonzero(mask)[0][:remaining]
-            total_drawn += theta.shape[0]
-            total_accepted += int(mask.sum())
-            if idx.size:
-                accepted.append(np.asarray(theta)[idx])
-                acc_lps.append(np.asarray(lp)[idx])
-                remaining -= idx.size
-            if remaining <= 0:
-                break
-        if remaining > 0:
-            # Escape hatch: top up with unfiltered draws (documented fallback).
-            accepted.append(np.asarray(last_theta)[:remaining])
-            acc_lps.append(np.asarray(last_lp)[:remaining])
-        theta_out = jnp.asarray(np.concatenate(accepted, axis=0)[:num_samples])
-        lp_out = jnp.asarray(np.concatenate(acc_lps, axis=0)[:num_samples])
-        acceptance = total_accepted / max(total_drawn, 1)
+        from .rejection import accept_reject_sample
+
+        theta_out, lp_out, acceptance = accept_reject_sample(
+            rng,
+            proposal_fn=lambda k, n: self._raw_sample(
+                k, x, n, theta_ctx, x_ctx, ctx_mask
+            ),
+            accept_reject_fn=self._within_support,
+            num_samples=num_samples,
+            max_iters=max_iters,
+            show_progress=show_progress,
+        )
         out = [theta_out]
         if return_log_probs:
             out.append(lp_out)

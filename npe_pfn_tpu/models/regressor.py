@@ -157,6 +157,20 @@ def predict_mean(
     return mn * fitted.stats.sd_y + fitted.stats.mu_y
 
 
+def predict_quantiles(
+    model: TabICAModel,
+    fitted: FittedContext,
+    logits: jnp.ndarray,
+    quantiles: jnp.ndarray,
+) -> jnp.ndarray:
+    """Posterior quantiles in original space — the TabPFN
+    ``predict(..., quantiles=[...])`` contract (reference npe_pfn.py:144
+    passes quantiles=[]). logits [..., B], quantiles [K] -> [..., K]."""
+    q = jnp.asarray(quantiles)
+    yn = jax.vmap(lambda qq: bar.icdf(model.borders, logits, qq), out_axes=-1)(q)
+    return yn * fitted.stats.sd_y + fitted.stats.mu_y
+
+
 # --- One-shot convenience (joint forward; used by tests and the classifier).
 
 
