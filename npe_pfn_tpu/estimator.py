@@ -244,6 +244,8 @@ class NPEPFN:
         qry_chunk: int = 1024,
         ratio_context_size: int = 512,
         seed: int = 0,
+        show_progress_bars: bool = False,
+        x_shape: Optional[Tuple[int, ...]] = None,
     ):
         if model is None:
             model, trained = ckpt_mod.load_default()
@@ -262,6 +264,10 @@ class NPEPFN:
         self.embedding_net = embedding_net
         self.log_prob_mode = log_prob_mode
         self.qry_chunk = int(qry_chunk)
+        self.show_progress_bars = show_progress_bars
+        # Pre-embedding observation shape for reshaping raw inputs before the
+        # embedding net (reference npe_pfn.py:272-274 x.reshape(-1, *x_shape)).
+        self.x_shape = tuple(x_shape) if x_shape is not None else None
         self._rng = jax.random.PRNGKey(seed)
         self._theta_train: Optional[Array] = None
         self._x_train: Optional[Array] = None
@@ -337,11 +343,25 @@ class NPEPFN:
         """Apply the embedding net to an observation (npe_pfn.py:272-274)."""
         x = jnp.asarray(x, jnp.float32)
         if self.embedding_net is not None:
+            if self.x_shape is not None:
+                x = x.reshape(-1, *self.x_shape)
+                x = jnp.asarray(self.embedding_net(x))
+                return x[0] if x.shape[0] == 1 else x
             squeeze = x.ndim == 1
             x = jnp.asarray(self.embedding_net(x[None] if squeeze else x))
             if squeeze:
                 x = x[0]
         return x
+
+    @staticmethod
+    def _num_from_shape(num) -> int:
+        """Accept an int or a torch-style sample_shape tuple."""
+        if isinstance(num, (tuple, list)):
+            out = 1
+            for d in num:
+                out *= int(d)
+            return out
+        return int(num)
 
     # -- sampling -------------------------------------------------------------
 
@@ -363,13 +383,14 @@ class NPEPFN:
 
     def sample(
         self,
-        num_samples: int,
+        num_samples,
         x: Array,
         rng: Optional[jax.Array] = None,
         max_iters: int = 10,
-        show_progress: bool = False,
+        show_progress: Optional[bool] = None,
         return_acceptance_rate: bool = False,
         return_log_probs: bool = False,
+        with_log_prob: bool = False,
     ):
         """Posterior samples for ONE observation with rejection against the
         prior support (npe_pfn.py:253-308 + accept_reject_sampler.py:9-91).
@@ -380,6 +401,11 @@ class NPEPFN:
         (accept_reject_sampler.py:74-77) — and the acceptance rate is
         reported so callers can detect it.
         """
+        num_samples = self._num_from_shape(num_samples)
+        return_log_probs = return_log_probs or with_log_prob
+        show_progress = (
+            self.show_progress_bars if show_progress is None else show_progress
+        )
         x = self._prep_obs(x)
         if x.ndim == 2:
             if x.shape[0] != 1:
@@ -413,12 +439,13 @@ class NPEPFN:
 
     def sample_batched(
         self,
-        num_samples: int,
+        num_samples,
         x: Array,
         rng: Optional[jax.Array] = None,
         max_iters: int = 10,
         oversample: float = 1.5,
         return_log_probs: bool = False,
+        with_log_prob: bool = False,
     ):
         """Samples for M observations at once → [M, num_samples, dθ]
         (reference npe_pfn.py:310-410). Shared unfiltered context; ALL
@@ -431,11 +458,13 @@ class NPEPFN:
         (npe_pfn.py:400-402, SURVEY §3.2 edge) — undersupplied observations
         are topped up with unfiltered draws, same escape hatch as sample().
         """
+        num_samples = self._num_from_shape(num_samples)
+        return_log_probs = return_log_probs or with_log_prob
         x = jnp.asarray(x, jnp.float32)
         if x.ndim == 1:
             x = x[None]
         if self.embedding_net is not None:
-            x = jnp.asarray(self.embedding_net(x))
+            x = self._prep_obs(x)
         m, dx = x.shape
         rng = self._next_rng(rng)
 
