@@ -509,6 +509,63 @@ class NPEPFN:
         lp_out = jnp.asarray(np.stack(got_lp)[:, :num_samples])
         return (theta_out, lp_out) if return_log_probs else theta_out
 
+    def sample_batched_filtered(
+        self,
+        num_samples,
+        x: Array,
+        rng: Optional[jax.Array] = None,
+        obs_chunk: int = 8,
+        return_log_probs: bool = False,
+    ):
+        """Batched sampling WITH per-observation filtered contexts.
+
+        The reference documents this as impossible — "can never support
+        batched sampling with filtering because the context depends on x"
+        (npe_pfn.py:707). With a pure-functional model it is just a vmap
+        over per-observation contexts: each observation gets its own
+        filtered context, encoded and sampled in parallel on device.
+
+        No prior rejection here (vmapped fixed shapes); apply
+        `_within_support` downstream if needed. Returns [M, num_samples, dθ].
+        """
+        num_samples = self._num_from_shape(num_samples)
+        x = jnp.asarray(x, jnp.float32)
+        if x.ndim == 1:
+            x = x[None]
+        if self.embedding_net is not None:
+            x = self._prep_obs(x)
+        m, dx = x.shape
+        rng = self._next_rng(rng)
+        s_pad = _round_up(num_samples, min(self.qry_chunk, 256))
+        chunk = min(self.qry_chunk, s_pad)
+
+        vmapped = jax.vmap(
+            lambda tc, xc, cm, xq, k: autoregressive_sample(
+                self.model, tc, xc, cm, xq, k, chunk
+            )
+        )
+        outs, lps = [], []
+        for start in range(0, m, obs_chunk):
+            stop = min(start + obs_chunk, m)
+            ctxs = []
+            for j in range(start, stop):
+                rng, k_f = jax.random.split(rng)
+                ctxs.append(self.get_context(x[j], k_f))
+            theta_ctx = jnp.stack([c[0] for c in ctxs])
+            x_ctx = jnp.stack([c[1] for c in ctxs])
+            ctx_mask = jnp.stack([c[2] for c in ctxs])
+            x_qry = jnp.broadcast_to(
+                x[start:stop, None, :], (stop - start, s_pad, dx)
+            )
+            rng, k_d = jax.random.split(rng)
+            keys = jax.random.split(k_d, stop - start)
+            theta, lp = vmapped(theta_ctx, x_ctx, ctx_mask, x_qry, keys)
+            outs.append(theta[:, :num_samples])
+            lps.append(lp[:, :num_samples])
+        theta_out = jnp.concatenate(outs, axis=0)
+        lp_out = jnp.concatenate(lps, axis=0)
+        return (theta_out, lp_out) if return_log_probs else theta_out
+
     # -- densities ------------------------------------------------------------
 
     def log_prob(

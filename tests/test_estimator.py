@@ -183,3 +183,18 @@ def test_feature_budget_error(model):
     est.append_simulations(theta, x)
     with pytest.raises(ValueError, match="feature budget"):
         est.sample(8, x[0], rng=jax.random.PRNGKey(0))
+
+
+def test_sample_batched_filtered(model, sims):
+    """Per-observation filtered contexts, vmapped — impossible in the
+    reference by design (npe_pfn.py:707)."""
+    est = make_estimator(model, sims, filter_context_size=32)
+    xs = sims[1][:5]
+    out, lp = est.sample_batched_filtered(
+        12, xs, rng=jax.random.PRNGKey(20), obs_chunk=2, return_log_probs=True
+    )
+    assert out.shape == (5, 12, DIM_THETA)
+    assert lp.shape == (5, 12)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # Each observation's samples must differ (contexts differ).
+    assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))
