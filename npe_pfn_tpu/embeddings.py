@@ -54,6 +54,47 @@ class MLPEmbedding:
         return h @ self.w2
 
 
+class Conv1DEmbedding:
+    """Fixed random conv feature extractor for sequence-shaped observations
+    (the reference trains ConvNN1D classifiers for its image task,
+    evaluate_ropefm_batched.py:118-154; here convs serve as an embedding in
+    front of the tabular model). Random filters + average pooling + linear
+    readout; jit/vmap-safe, deterministic given seed."""
+
+    def __init__(
+        self,
+        length: int,
+        dout: int,
+        channels: int = 16,
+        kernel: int = 9,
+        pool: int = 4,
+        seed: int = 0,
+    ):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        self.kernel = jax.random.normal(k1, (channels, 1, kernel)) / jnp.sqrt(kernel)
+        pooled = ((length - kernel + 1) // pool) * channels
+        self.w_out = jax.random.normal(k2, (pooled, dout)) / jnp.sqrt(pooled)
+        self.pool = pool
+        self.length = length
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.asarray(x, jnp.float32)
+        batch = x.shape[:-1]
+        h = x.reshape((-1, 1, self.length))
+        h = jax.lax.conv_general_dilated(
+            h, self.kernel, window_strides=(1,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )
+        h = jax.nn.relu(h)
+        # Average pool along the spatial axis.
+        c, l = h.shape[1], h.shape[2]
+        l_p = (l // self.pool) * self.pool
+        h = h[:, :, :l_p].reshape(-1, c, l_p // self.pool, self.pool).mean(-1)
+        h = h.reshape(h.shape[0], -1)
+        out = h @ self.w_out
+        return out.reshape(batch + (out.shape[-1],))
+
+
 def chain(*nets: Callable) -> Callable:
     """Compose embedding nets left-to-right."""
 

@@ -191,12 +191,37 @@ def sir() -> Task:
     return Task("sir", prior, _sir_sim, 2, 10)
 
 
+# --------------------------------------------------------------------------
+# Gaussian bump image task (3D θ -> 1024-D image): high-dimensional
+# observation exercising the embedding-net path, like the reference's
+# light_tunnel image task (12288-D, RandomProjection to 128;
+# evaluate_ropefm_batched.py:61-111).
+# --------------------------------------------------------------------------
+
+
+def _bump_sim(rng, theta, size=32):
+    cx = theta[0] * 10.0 + 16.0
+    cy = theta[1] * 10.0 + 16.0
+    sig = jnp.exp(theta[2]) * 3.0 + 1.0
+    ii = jnp.arange(size)[:, None]
+    jj = jnp.arange(size)[None, :]
+    img = jnp.exp(-((ii - cy) ** 2 + (jj - cx) ** 2) / (2.0 * sig**2))
+    img = img + 0.05 * jax.random.normal(rng, (size, size))
+    return img.reshape(-1)
+
+
+def gaussian_bump_image() -> Task:
+    prior = BoxUniform(low=jnp.array([-1.0, -1.0, -1.0]), high=jnp.array([1.0, 1.0, 1.0]))
+    return Task("gaussian_bump_image", prior, _bump_sim, 3, 1024)
+
+
 _TASKS = {
     "two_moons": two_moons,
     "gaussian_linear": gaussian_linear,
     "slcp": slcp,
     "lotka_volterra": lotka_volterra,
     "sir": sir,
+    "gaussian_bump_image": gaussian_bump_image,
 }
 
 

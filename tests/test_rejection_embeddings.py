@@ -73,3 +73,31 @@ def test_predict_quantiles_monotone():
     assert qs.shape == (5, 3)
     q = np.asarray(qs)
     assert np.all(q[:, 0] <= q[:, 1]) and np.all(q[:, 1] <= q[:, 2])
+
+
+def test_conv1d_embedding_shapes():
+    emb = npt.embeddings.Conv1DEmbedding(length=1024, dout=6, seed=0)
+    x = jax.random.normal(jax.random.PRNGKey(5), (10, 1024))
+    out = emb(x)
+    assert out.shape == (10, 6)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_image_task_with_embedding_end_to_end():
+    """gaussian_bump_image (1024-D x) through RandomProjection into sampling
+    (the reference's light_tunnel pattern, evaluate_ropefm_batched.py:61-111)."""
+    cfg = TabICAConfig(
+        d_model=32, num_heads=2, num_layers=2, max_features=8, num_bars=32,
+        dtype="float32",
+    )
+    model = TabICAModel.create(jax.random.PRNGKey(0), cfg)
+    task = npt.tasks.get_task("gaussian_bump_image")
+    theta, x = task.simulate(jax.random.PRNGKey(1), 128)
+    emb = npt.embeddings.RandomProjectionEmbedding(task.dim_x, 5, seed=1)
+    est = npt.NPEPFN(
+        prior=task.prior, model=model, embedding_net=emb,
+        filter_context_size=64, qry_chunk=32,
+    )
+    est.append_simulations(theta, x)
+    s = est.sample(8, x[0], rng=jax.random.PRNGKey(2))
+    assert s.shape == (8, 3)
