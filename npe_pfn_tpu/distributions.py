@@ -119,8 +119,9 @@ class MultivariateNormal(Distribution):
         d = self.event_dim
         chol = self._chol()
         diff = x - self.loc
-        sol = jax.scipy.linalg.solve_triangular(chol, diff[..., None], lower=True)[..., 0]
-        maha = jnp.sum(sol**2, axis=-1)
+        flat = diff.reshape(-1, d)
+        sol = jax.scipy.linalg.solve_triangular(chol, flat.T, lower=True)
+        maha = jnp.sum(sol**2, axis=0).reshape(diff.shape[:-1])
         logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
         return -0.5 * (maha + logdet + d * math.log(2 * math.pi))
 
