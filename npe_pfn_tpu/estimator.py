@@ -142,6 +142,90 @@ def autoregressive_log_prob(
     return jnp.sum(lps, axis=0)
 
 
+@partial(jax.jit, static_argnames=("qry_chunk",))
+def autoregressive_sample_ensemble(
+    model: TabICAModel,
+    theta_ctx: Array,  # [E, Ne, dθ] — context split into E ensemble members
+    x_ctx: Array,  # [E, Ne, dx]
+    ctx_mask: Array,  # [E, Ne]
+    x_qry: Array,  # [Q, dx]
+    rng: jax.Array,
+    qry_chunk: int = 1024,
+) -> Tuple[Array, Array]:
+    """Ensemble-mixture autoregressive sampling.
+
+    TabPFN's accuracy relies on averaging an ensemble of preprocessing
+    variants (SURVEY §2.4); TabICA is exactly column-permutation-invariant so
+    feature shuffles are moot — instead the ensemble is over CONTEXT SUBSETS:
+    each member encodes its own rows/normalization, and the per-dimension
+    conditional is the equal-weight mixture of member bar distributions
+    (sampled by picking a member per query row; scored by logsumexp).
+    """
+    e, n_e, dth = theta_ctx.shape
+    q, dx = x_qry.shape
+    f = model.cfg.max_features
+    assert q % qry_chunk == 0
+
+    xc = jnp.zeros((e, n_e, f), theta_ctx.dtype)
+    xc = xc.at[..., :dx].set(x_ctx).at[..., dx : dx + dth].set(theta_ctx)
+    col = jnp.arange(f)
+
+    def step(theta_sm, inp):
+        i, key = inp
+        feat_mask = col < dx + i
+        y_ctx = jnp.take(theta_ctx, i, axis=2)  # [E, Ne]
+        fitted = jax.vmap(
+            lambda xcm, ycm, cmm: regressor.fit_encode(model, xcm, ycm, feat_mask, cmm)
+        )(xc, y_ctx, ctx_mask)
+        xq = jnp.zeros((q, f), x_qry.dtype)
+        xq = xq.at[:, :dx].set(x_qry).at[:, dx : dx + dth].set(theta_sm)
+        chunks = xq.reshape(q // qry_chunk, qry_chunk, f)
+        logits = jax.vmap(
+            lambda fm: jax.lax.map(
+                lambda c: regressor.predict_logits(model, fm, c), chunks
+            ).reshape(q, -1)
+        )(fitted)  # [E, Q, B]
+
+        k_m, k_s = jax.random.split(key)
+        member = jax.random.randint(k_m, (q,), 0, e)
+        yn = jax.vmap(lambda lg: _bar_sample(model, k_s, lg))(logits)  # [E, Q] norm
+        y_e = yn * fitted.stats.sd_y[:, None] + fitted.stats.mu_y[:, None]
+        th_i = jnp.take_along_axis(y_e, member[None, :], axis=0)[0]
+
+        yn_all = (th_i[None, :] - fitted.stats.mu_y[:, None]) / fitted.stats.sd_y[:, None]
+        lp_e = jax.vmap(
+            lambda lg, ynm, sdm: _bar_log_prob(model, lg, ynm) - jnp.log(sdm)
+        )(logits, yn_all, jnp.broadcast_to(fitted.stats.sd_y[:, None], (e, q)))
+        lp_i = jax.scipy.special.logsumexp(lp_e, axis=0) - math.log(e)
+        return theta_sm.at[:, i].set(th_i), lp_i
+
+    keys = jax.random.split(rng, dth)
+    theta0 = jnp.zeros((q, dth), x_qry.dtype)
+    theta, lps = jax.lax.scan(step, theta0, (jnp.arange(dth), keys))
+    return theta, jnp.sum(lps, axis=0)
+
+
+def _bar_sample(model, rng, logits):
+    from .models import bar_distribution as bar
+
+    return bar.sample(rng, model.borders, logits)
+
+
+def _bar_log_prob(model, logits, yn):
+    from .models import bar_distribution as bar
+
+    return bar.log_prob(model.borders, logits, yn)
+
+
+def split_context_ensemble(theta_ctx, x_ctx, ctx_mask, num_ensembles: int):
+    """Round-robin split of a (possibly distance-ordered) context into E
+    members — stratified so every member sees the full distance range."""
+    n = theta_ctx.shape[0]
+    n_e = n // num_ensembles
+    idx = jnp.arange(n_e * num_ensembles).reshape(n_e, num_ensembles).T  # [E, Ne]
+    return theta_ctx[idx], x_ctx[idx], ctx_mask[idx]
+
+
 # ---------------------------------------------------------------------------
 # Density-ratio log_prob (classifier path)
 # ---------------------------------------------------------------------------
@@ -246,6 +330,7 @@ class NPEPFN:
         seed: int = 0,
         show_progress_bars: bool = False,
         x_shape: Optional[Tuple[int, ...]] = None,
+        num_ensembles: int = 1,
     ):
         if model is None:
             model, trained = ckpt_mod.load_default()
@@ -265,6 +350,8 @@ class NPEPFN:
         self.log_prob_mode = log_prob_mode
         self.qry_chunk = int(qry_chunk)
         self.show_progress_bars = show_progress_bars
+        # TabPFN-style ensembling over context subsets (mixture of members).
+        self.num_ensembles = int(num_ensembles)
         # Pre-embedding observation shape for reshaping raw inputs before the
         # embedding net (reference npe_pfn.py:272-274 x.reshape(-1, *x_shape)).
         self.x_shape = tuple(x_shape) if x_shape is not None else None
@@ -369,9 +456,17 @@ class NPEPFN:
         """One fixed-shape proposal draw of `num` samples for one obs."""
         q = _round_up(num, self.qry_chunk)
         x_qry = jnp.broadcast_to(x_o, (q, x_o.shape[-1]))
-        theta, lp = autoregressive_sample(
-            self.model, theta_ctx, x_ctx, ctx_mask, x_qry, rng, self.qry_chunk
-        )
+        if self.num_ensembles > 1:
+            tc, xc, cm = split_context_ensemble(
+                theta_ctx, x_ctx, ctx_mask, self.num_ensembles
+            )
+            theta, lp = autoregressive_sample_ensemble(
+                self.model, tc, xc, cm, x_qry, rng, self.qry_chunk
+            )
+        else:
+            theta, lp = autoregressive_sample(
+                self.model, theta_ctx, x_ctx, ctx_mask, x_qry, rng, self.qry_chunk
+            )
         return theta[:num], lp[:num]
 
     def _within_support(self, theta: Array) -> Array:

@@ -198,3 +198,13 @@ def test_sample_batched_filtered(model, sims):
     assert np.all(np.isfinite(np.asarray(out)))
     # Each observation's samples must differ (contexts differ).
     assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))
+
+
+def test_ensemble_sampling(model, sims):
+    """Context-subset ensembling: mixture sampling stays in shape/support."""
+    est = make_estimator(model, sims, num_ensembles=4, filter_context_size=64)
+    s, lp = est.sample(
+        24, sims[1][0], rng=jax.random.PRNGKey(21), return_log_probs=True
+    )
+    assert s.shape == (24, DIM_THETA) and lp.shape == (24,)
+    assert np.all(np.isfinite(np.asarray(s))) and np.all(np.isfinite(np.asarray(lp)))
