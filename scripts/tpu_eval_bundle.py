@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""One-process TPU evaluation bundle.
+
+The axon TPU claim costs ~4 min per process, so all on-chip measurements run
+in a single process: headline bench, batched-vs-loop speedups, flash-kernel
+compiled parity + timing, quality check, context-length probe. Writes
+results/tpu_eval.json and prints progress lines.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+OUT = {}
+
+
+def section(name):
+    print(f"=== {name} ===", flush=True)
+
+
+def timed(fn, *a, **k):
+    import jax
+
+    t0 = time.perf_counter()
+    out = fn(*a, **k)
+    jax.block_until_ready(out)
+    return out, time.perf_counter() - t0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import npe_pfn_tpu as npt
+    from npe_pfn_tpu.eval import metrics
+    from npe_pfn_tpu.models import checkpoint
+
+    print("devices:", jax.devices(), flush=True)
+    model, trained = checkpoint.load_default()
+    OUT["trained"] = trained
+
+    # ---- 1. headline: 10k samples, 10D gaussian linear ------------------
+    section("headline bench")
+    task = npt.tasks.get_task("gaussian_linear", dim=10)
+    theta, x = task.simulate(jax.random.PRNGKey(0), 1000)
+    est = npt.NPEPFN(prior=task.prior, filter_context_size=512, qry_chunk=1024)
+    est.append_simulations(theta, x)
+    x_o = x[0]
+    num = 10_240
+    _, t_compile = timed(est.sample, num, x_o, rng=jax.random.PRNGKey(1), max_iters=1)
+    samples, t_run = timed(est.sample, num, x_o, rng=jax.random.PRNGKey(2), max_iters=1)
+    OUT["headline"] = {
+        "num_samples": num,
+        "compile_plus_first_s": round(t_compile, 2),
+        "steady_s": round(t_run, 3),
+        "samples_per_s": round(num / t_run, 1),
+    }
+    print(json.dumps(OUT["headline"]), flush=True)
+
+    # ---- 2. batched vs loop (reference headline table) -------------------
+    section("batched vs loop")
+    task3 = npt.tasks.get_task("gaussian_linear", dim=3)
+    th3, x3 = task3.simulate(jax.random.PRNGKey(3), 1000)
+    x3 = jnp.concatenate([x3, jnp.tile(x3, (1, 3))[:, :7]], axis=1)  # 10D x
+    est3 = npt.NPEPFN(prior=task3.prior, filter_context_size=512, qry_chunk=1024)
+    est3.append_simulations(th3, x3)
+    OUT["batched_vs_loop"] = []
+    for m in (5, 10, 20, 50):
+        est3.sample_batched(100, x3[:m], rng=jax.random.PRNGKey(4), max_iters=1)
+        _, t_b = timed(
+            est3.sample_batched, 100, x3[:m], rng=jax.random.PRNGKey(5), max_iters=1
+        )
+        est3.sample(100, x3[0], rng=jax.random.PRNGKey(6), max_iters=1)
+        t0 = time.perf_counter()
+        outs = [
+            est3.sample(100, x3[j], rng=jax.random.PRNGKey(7 + j), max_iters=1)
+            for j in range(m)
+        ]
+        jax.block_until_ready(outs)
+        t_l = time.perf_counter() - t0
+        rec = {"num_obs": m, "t_loop_s": round(t_l, 3), "t_batched_s": round(t_b, 3),
+               "speedup": round(t_l / t_b, 2)}
+        OUT["batched_vs_loop"].append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # ---- 3. flash kernel compiled parity + timing ------------------------
+    section("flash attention")
+    try:
+        from npe_pfn_tpu.ops.flash_attention import (
+            flash_row_attention,
+            reference_row_attention,
+        )
+
+        b, h, hd = 33, 4, 32
+        for lk in (2048, 8192):
+            ks = jax.random.split(jax.random.PRNGKey(8), 3)
+            q = jax.random.normal(ks[0], (b, 1024, h, hd), jnp.bfloat16)
+            k = jax.random.normal(ks[1], (b, lk, h, hd), jnp.bfloat16)
+            v = jax.random.normal(ks[2], (b, lk, h, hd), jnp.bfloat16)
+            mask = jnp.arange(lk) < (lk - 100)
+            out, t1 = timed(flash_row_attention, q, k, v, mask)
+            out2, t2 = timed(flash_row_attention, q, k, v, mask)
+            ref = reference_row_attention(
+                q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32), mask
+            )
+            err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref)))
+            rec = {"lk": lk, "steady_ms": round(t2 * 1e3, 2), "max_err": err}
+            OUT.setdefault("flash", []).append(rec)
+            print(json.dumps(rec), flush=True)
+    except Exception as e:  # keep the bundle alive; kernel perf is optional
+        OUT["flash_error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        print("flash FAILED:", OUT["flash_error"], flush=True)
+
+    # ---- 4. quality on chip ----------------------------------------------
+    section("quality")
+    task5 = npt.tasks.get_task("gaussian_linear", dim=5)
+    th5, x5 = task5.simulate(jax.random.PRNGKey(9), 4096)
+    for ctx in (384, 512, 1024):
+        est5 = npt.NPEPFN(prior=task5.prior, filter_context_size=ctx, qry_chunk=1024)
+        est5.append_simulations(th5, x5)
+        c2sts, std_ratios = [], []
+        for j in range(4):
+            post = est5.sample(1024, x5[j], rng=jax.random.PRNGKey(20 + j), max_iters=1)
+            gt = task5.posterior_sampler(jax.random.PRNGKey(40 + j), x5[j], 1024)
+            c2sts.append(float(metrics.c2st(jax.random.PRNGKey(60 + j), post, gt)))
+            std_ratios.append(float((post.std(0) / gt.std(0)).mean()))
+        rec = {"context": ctx, "c2st": round(float(np.mean(c2sts)), 4),
+               "std_ratio": round(float(np.mean(std_ratios)), 4)}
+        OUT.setdefault("quality_vs_context", []).append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # ---- 5. ensembles -----------------------------------------------------
+    section("ensembles")
+    for e in (1, 4):
+        est5 = npt.NPEPFN(
+            prior=task5.prior, filter_context_size=512, qry_chunk=1024, num_ensembles=e
+        )
+        est5.append_simulations(th5, x5)
+        post = est5.sample(1024, x5[0], rng=jax.random.PRNGKey(70), max_iters=1)
+        gt = task5.posterior_sampler(jax.random.PRNGKey(71), x5[0], 1024)
+        c = float(metrics.c2st(jax.random.PRNGKey(72), post, gt))
+        rec = {"num_ensembles": e, "c2st": round(c, 4)}
+        OUT.setdefault("ensembles", []).append(rec)
+        print(json.dumps(rec), flush=True)
+
+    os.makedirs("results", exist_ok=True)
+    with open("results/tpu_eval.json", "w") as f:
+        json.dump(OUT, f, indent=2)
+    print("WROTE results/tpu_eval.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()
