@@ -54,6 +54,14 @@ def _mlp_logit(p, x):
     return (h @ p["w3"] + p["b3"])[..., 0]
 
 
+def c2st_embedded(rng, a, b, embed_fn, **kwargs):
+    """C2ST through a fixed feature embedding — the reference trains CNN
+    classifiers for image-shaped samples (evaluate_ropefm_batched.py:118-248);
+    here a fixed conv/projection embedding (npe_pfn_tpu.embeddings) feeds the
+    same jitted MLP C2ST."""
+    return c2st(rng, jnp.asarray(embed_fn(a)), jnp.asarray(embed_fn(b)), **kwargs)
+
+
 @partial(jax.jit, static_argnames=("folds", "epochs", "hidden"))
 def c2st(
     rng: jax.Array,

@@ -53,3 +53,13 @@ def test_ks_per_dim(samples):
     p_sig = metrics.ks_test_per_dim(a, c)
     assert (p_null > 0.05).mean() >= 2 / 3
     assert np.all(p_sig < 0.01)
+
+
+def test_c2st_embedded(samples):
+    import npe_pfn_tpu as npt
+
+    a, b, c = samples
+    emb = npt.embeddings.RandomProjectionEmbedding(3, 3, seed=0, standardize=False)
+    null = float(metrics.c2st_embedded(jax.random.PRNGKey(2), a, b, emb, epochs=100))
+    sig = float(metrics.c2st_embedded(jax.random.PRNGKey(2), a, c, emb, epochs=100))
+    assert null < 0.65 and sig > 0.85
