@@ -205,6 +205,52 @@ def autoregressive_sample_ensemble(
     return theta, jnp.sum(lps, axis=0)
 
 
+@partial(jax.jit, static_argnames=("qry_chunk",))
+def autoregressive_log_prob_ensemble(
+    model: TabICAModel,
+    theta_ctx: Array,  # [E, Ne, dθ]
+    x_ctx: Array,  # [E, Ne, dx]
+    ctx_mask: Array,  # [E, Ne]
+    x_qry: Array,  # [Q, dx]
+    theta_eval: Array,  # [Q, dθ]
+    qry_chunk: int = 1024,
+) -> Array:
+    """Score log q(θ|x) under the same context-subset mixture that
+    autoregressive_sample_ensemble draws from."""
+    e, n_e, dth = theta_ctx.shape
+    q, dx = x_qry.shape
+    f = model.cfg.max_features
+    assert q % qry_chunk == 0
+
+    xc = jnp.zeros((e, n_e, f), theta_ctx.dtype)
+    xc = xc.at[..., :dx].set(x_ctx).at[..., dx : dx + dth].set(theta_ctx)
+    xq = jnp.zeros((q, f), x_qry.dtype)
+    xq = xq.at[:, :dx].set(x_qry).at[:, dx : dx + dth].set(theta_eval)
+    chunks = xq.reshape(q // qry_chunk, qry_chunk, f)
+    col = jnp.arange(f)
+
+    def step(_, i):
+        feat_mask = col < dx + i
+        y_ctx = jnp.take(theta_ctx, i, axis=2)
+        fitted = jax.vmap(
+            lambda xcm, ycm, cmm: regressor.fit_encode(model, xcm, ycm, feat_mask, cmm)
+        )(xc, y_ctx, ctx_mask)
+        logits = jax.vmap(
+            lambda fm: jax.lax.map(
+                lambda c: regressor.predict_logits(model, fm, c), chunks
+            ).reshape(q, -1)
+        )(fitted)
+        th_i = jnp.take(theta_eval, i, axis=1)
+        yn = (th_i[None, :] - fitted.stats.mu_y[:, None]) / fitted.stats.sd_y[:, None]
+        lp_e = jax.vmap(
+            lambda lg, ynm, sdm: _bar_log_prob(model, lg, ynm) - jnp.log(sdm)
+        )(logits, yn, jnp.broadcast_to(fitted.stats.sd_y[:, None], (e, q)))
+        return None, jax.scipy.special.logsumexp(lp_e, axis=0) - math.log(e)
+
+    _, lps = jax.lax.scan(step, None, jnp.arange(dth))
+    return jnp.sum(lps, axis=0)
+
+
 def _bar_sample(model, rng, logits):
     from .models import bar_distribution as bar
 
@@ -689,9 +735,17 @@ class NPEPFN:
             theta_pad = jnp.concatenate(
                 [theta, jnp.zeros((pad, theta.shape[1]), theta.dtype)], axis=0
             )
-            lp = autoregressive_log_prob(
-                self.model, theta_ctx, x_ctx, ctx_mask, x_qry, theta_pad, self.qry_chunk
-            )
+            if self.num_ensembles > 1:
+                tc, xc, cm = split_context_ensemble(
+                    theta_ctx, x_ctx, ctx_mask, self.num_ensembles
+                )
+                lp = autoregressive_log_prob_ensemble(
+                    self.model, tc, xc, cm, x_qry, theta_pad, self.qry_chunk
+                )
+            else:
+                lp = autoregressive_log_prob(
+                    self.model, theta_ctx, x_ctx, ctx_mask, x_qry, theta_pad, self.qry_chunk
+                )
             return lp[:n]
         if mode == "ratio_based":
             if self._ratio.refit_necessary(x, self._ctx_version, num_ratio_samples, padding):

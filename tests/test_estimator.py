@@ -208,3 +208,12 @@ def test_ensemble_sampling(model, sims):
     )
     assert s.shape == (24, DIM_THETA) and lp.shape == (24,)
     assert np.all(np.isfinite(np.asarray(s))) and np.all(np.isfinite(np.asarray(lp)))
+
+
+def test_ensemble_log_prob(model, sims):
+    est = make_estimator(model, sims, num_ensembles=4, filter_context_size=64)
+    x_o = sims[1][0]
+    theta = jnp.zeros((9, DIM_THETA))
+    lp = est.log_prob(theta, x_o, mode="autoregressive")
+    assert lp.shape == (9,)
+    assert np.all(np.isfinite(np.asarray(lp)))
