@@ -32,11 +32,11 @@ _NEG_INF = -1e30
 
 
 def _flash_kernel(
-    q_ref,  # [1, Bq, 1, hd]
-    k_ref,  # [1, Bk, 1, hd]
-    v_ref,  # [1, Bk, 1, hd]
+    q_ref,  # [1, Bq, hd]
+    k_ref,  # [1, Bk, hd]
+    v_ref,  # [1, Bk, hd]
     mask_ref,  # [1, Bk] float32 (1.0 = real row)
-    out_ref,  # [1, Bq, 1, hd]
+    out_ref,  # [1, Bq, hd]
     m_scratch,  # [Bq, 128] f32
     l_scratch,  # [Bq, 128] f32
     acc_scratch,  # [Bq, hd] f32
@@ -52,9 +52,9 @@ def _flash_kernel(
         l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
-    q = q_ref[0, :, 0, :]  # [Bq, hd]
-    k = k_ref[0, :, 0, :]  # [Bk, hd]
-    v = v_ref[0, :, 0, :]  # [Bk, hd]
+    q = q_ref[0]  # [Bq, hd]
+    k = k_ref[0]  # [Bk, hd]
+    v = v_ref[0]  # [Bk, hd]
     mask = mask_ref[0, :]  # [Bk]
 
     s = jax.lax.dot_general(
@@ -80,7 +80,7 @@ def _flash_kernel(
 
     @pl.when(kb == num_k_blocks - 1)
     def _finalize():
-        out_ref[0, :, 0, :] = (
+        out_ref[0] = (
             acc_scratch[:] / jnp.maximum(l_scratch[:, :1], 1e-30)
         ).astype(out_ref.dtype)
 
@@ -115,6 +115,13 @@ def flash_row_attention(
         v = jnp.pad(v, ((0, 0), (0, lk_p - lk), (0, 0), (0, 0)))
     mask_f = jnp.pad(kv_mask.astype(jnp.float32), (0, lk_p - lk))[None, :]
 
+    # Fold (batch, heads) into one leading grid dim so every block is
+    # [1, rows, hd] — rows divisible by 8, hd equal to the full trailing
+    # dim, satisfying the Mosaic block-shape tiling rule.
+    qf = jnp.swapaxes(q, 1, 2).reshape(b * h, lq_p, hd)
+    kf = jnp.swapaxes(k, 1, 2).reshape(b * h, lk_p, hd)
+    vf = jnp.swapaxes(v, 1, 2).reshape(b * h, lk_p, hd)
+
     num_k_blocks = lk_p // block_k
     grid = (b * h, lq_p // block_q, num_k_blocks)
 
@@ -126,18 +133,18 @@ def flash_row_attention(
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, block_q, 1, hd),
-                lambda i, iq, ik: (i // h, iq, i % h, 0),
+                (1, block_q, hd),
+                lambda i, iq, ik: (i, iq, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, block_k, 1, hd),
-                lambda i, iq, ik: (i // h, ik, i % h, 0),
+                (1, block_k, hd),
+                lambda i, iq, ik: (i, ik, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, block_k, 1, hd),
-                lambda i, iq, ik: (i // h, ik, i % h, 0),
+                (1, block_k, hd),
+                lambda i, iq, ik: (i, ik, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -147,18 +154,19 @@ def flash_row_attention(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_q, 1, hd),
-            lambda i, iq, ik: (i // h, iq, i % h, 0),
+            (1, block_q, hd),
+            lambda i, iq, ik: (i, iq, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, lq_p, h, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, lq_p, hd), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, hd), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v, mask_f)
+    )(qf, kf, vf, mask_f)
+    out = jnp.swapaxes(out.reshape(b, h, lq_p, hd), 1, 2)
     return out[:, :lq]
 
 
