@@ -19,10 +19,21 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--fast", action="store_true", help="small sizes for CPU")
+    args = p.parse_args()
+
     import jax
     import jax.numpy as jnp
 
     import npe_pfn_tpu as npt
+
+    ctx = 128 if args.fast else 512
+    chunk = 128 if args.fast else 1024
+    n_post = 512 if args.fast else 2048
+    kw = dict(filter_context_size=ctx, qry_chunk=chunk)
 
     task = npt.tasks.get_task("two_moons")
     rng = jax.random.PRNGKey(0)
@@ -34,18 +45,20 @@ def main():
 
     # --- single-round NPE-PFN -------------------------------------------
     theta, x = task.simulate(rng, 1000)
-    est = npt.NPEPFN(prior=task.prior)
+    est = npt.NPEPFN(prior=task.prior, **kw)
     est.append_simulations(theta, x)
-    posterior_samples = est.sample(2048, x_o, rng=jax.random.PRNGKey(1))
+    posterior_samples = est.sample(n_post, x_o, rng=jax.random.PRNGKey(1))
     print(f"NPE-PFN posterior mean: {posterior_samples.mean(0)}")
 
     # --- sequential TSNPE-PFN -------------------------------------------
     est_seq = npt.run_tsnpe(
         task.simulator, task.prior, x_o,
         num_rounds=3, num_simulations=1000, rng=jax.random.PRNGKey(2),
-        num_samples_to_estimate_support=1024,
+        num_samples_to_estimate_support=512 if args.fast else 1024,
+        support_batch_size=2048 if args.fast else 16_384,
+        **kw,
     )
-    seq_samples = est_seq.sample(2048, x_o, rng=jax.random.PRNGKey(3))
+    seq_samples = est_seq.sample(n_post, x_o, rng=jax.random.PRNGKey(3))
     print(f"TSNPE-PFN posterior mean: {seq_samples.mean(0)}")
 
     # --- plot --------------------------------------------------------------

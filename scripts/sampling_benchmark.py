@@ -86,9 +86,17 @@ def main():
         print(json.dumps(rec), flush=True)
         results["batched_vs_loop"].append(rec)
 
-    # Distributional equivalence: batched vs loop on the first obs.
-    batched = est.sample_batched(2000, x[:1], rng=jax.random.PRNGKey(10), max_iters=1)[0]
-    looped = est.sample(2000, x[0], rng=jax.random.PRNGKey(11), max_iters=1)
+    # Distributional equivalence: batched vs loop on the first obs. Use an
+    # unfiltered estimator so both paths condition on the identical context
+    # (sample() filters per-obs, sample_batched() never does — reference
+    # npe_pfn.py:201-204; the reference's own KS check shares context too).
+    est_eq = NPEPFN(
+        prior=task.prior, filter_type="no_filtering",
+        filter_context_size=args.num_train, qry_chunk=1024,
+    )
+    est_eq.append_simulations(theta, x)
+    batched = est_eq.sample_batched(2000, x[:1], rng=jax.random.PRNGKey(10), max_iters=1)[0]
+    looped = est_eq.sample(2000, x[0], rng=jax.random.PRNGKey(11), max_iters=1)
     pvals = ks_test_per_dim(batched, looped)
     results["ks_pvalues"] = [float(v) for v in pvals]
     results["ks_frac_above_0.05"] = float((pvals > 0.05).mean())
