@@ -192,6 +192,45 @@ def sir() -> Task:
 
 
 # --------------------------------------------------------------------------
+# Damped pendulum (3D θ: log length, log damping, initial angle) — the
+# reference's RoPEFM "pendulum" task is data-file-driven
+# (evaluate_ropefm.py:327-366); this is a self-contained simulator analog.
+# --------------------------------------------------------------------------
+
+
+def _pendulum_sim(rng, theta, t_max=10.0, num_steps=200, num_obs=20, g=9.81):
+    length = jnp.exp(theta[0])
+    damping = jnp.exp(theta[1])
+    angle0 = theta[2]
+    dt = t_max / num_steps
+
+    def deriv(state):
+        ang, vel = state
+        return jnp.array([vel, -(g / length) * jnp.sin(ang) - damping * vel])
+
+    def rk4(state, _):
+        k1 = deriv(state)
+        k2 = deriv(state + 0.5 * dt * k1)
+        k3 = deriv(state + 0.5 * dt * k2)
+        k4 = deriv(state + dt * k3)
+        new = state + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+        return new, new[0]
+
+    init = jnp.array([angle0, 0.0])
+    _, traj = jax.lax.scan(rk4, init, None, length=num_steps)
+    idx = jnp.linspace(0, num_steps - 1, num_obs).astype(jnp.int32)
+    obs = traj[idx]
+    return obs + 0.05 * jax.random.normal(rng, obs.shape)
+
+
+def pendulum() -> Task:
+    prior = BoxUniform(
+        low=jnp.array([-0.7, -3.0, 0.2]), high=jnp.array([0.7, -0.5, 1.5])
+    )
+    return Task("pendulum", prior, _pendulum_sim, 3, 20)
+
+
+# --------------------------------------------------------------------------
 # Gaussian bump image task (3D θ -> 1024-D image): high-dimensional
 # observation exercising the embedding-net path, like the reference's
 # light_tunnel image task (12288-D, RandomProjection to 128;
@@ -221,6 +260,7 @@ _TASKS = {
     "slcp": slcp,
     "lotka_volterra": lotka_volterra,
     "sir": sir,
+    "pendulum": pendulum,
     "gaussian_bump_image": gaussian_bump_image,
 }
 
