@@ -58,9 +58,47 @@ def _two_moons_sim(rng, theta):
     return p + ang
 
 
+def _two_moons_log_likelihood(theta: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Exact log p(x|θ) for the two-moons simulator: the crescent point
+    p = x - ang(θ) has polar density p(r, α) = N(r; 0.1, 0.01)·U(α; ±π/2)
+    with Jacobian 1/r. theta: [..., 2]; x: [2]."""
+    ang = jnp.stack(
+        [
+            -jnp.abs(theta[..., 0] + theta[..., 1]) / jnp.sqrt(2.0),
+            (-theta[..., 0] + theta[..., 1]) / jnp.sqrt(2.0),
+        ],
+        axis=-1,
+    )
+    p = x - ang
+    px = p[..., 0] - 0.25
+    py = p[..., 1]
+    r = jnp.sqrt(px**2 + py**2)
+    alpha = jnp.arctan2(py, px)
+    log_r = -0.5 * ((r - 0.1) / 0.01) ** 2 - math.log(0.01 * math.sqrt(2 * math.pi))
+    log_alpha = jnp.where(
+        (alpha > -math.pi / 2) & (alpha < math.pi / 2), -math.log(math.pi), -jnp.inf
+    )
+    return log_r + log_alpha - jnp.log(jnp.maximum(r, 1e-12))
+
+
+def _two_moons_posterior_sampler(rng, x_o, n, grid: int = 512):
+    """Exact posterior samples via a dense grid over the box prior —
+    ground truth for C2ST on a genuinely multimodal task."""
+    g = (jnp.arange(grid) + 0.5) / grid * 2.0 - 1.0
+    tt = jnp.stack(jnp.meshgrid(g, g, indexing="ij"), axis=-1).reshape(-1, 2)
+    logp = _two_moons_log_likelihood(tt, x_o)
+    k_cat, k_jit = jax.random.split(rng)
+    idx = jax.random.categorical(k_cat, logp, shape=(n,))
+    cell = 2.0 / grid
+    jitter = (jax.random.uniform(k_jit, (n, 2)) - 0.5) * cell
+    return tt[idx] + jitter
+
+
 def two_moons() -> Task:
     prior = BoxUniform(low=-jnp.ones(2), high=jnp.ones(2))
-    return Task("two_moons", prior, _two_moons_sim, 2, 2)
+    return Task(
+        "two_moons", prior, _two_moons_sim, 2, 2, _two_moons_posterior_sampler
+    )
 
 
 # --------------------------------------------------------------------------

@@ -147,6 +147,57 @@ def main():
         OUT.setdefault("ensembles", []).append(rec)
         print(json.dumps(rec), flush=True)
 
+    # ---- 6. two moons vs exact posterior ---------------------------------
+    section("two moons")
+    tm = npt.tasks.get_task("two_moons")
+    theta_o = jnp.array([0.3, -0.4])
+    x_o = tm.simulator(jax.random.PRNGKey(99), theta_o)
+    gt = tm.posterior_sampler(jax.random.PRNGKey(80), x_o, 1024)
+    for n_sims, ctx in ((1000, 1024), (10_000, 1024), (10_000, 2048)):
+        th_tm, x_tm = tm.simulate(jax.random.PRNGKey(81), n_sims)
+        est_tm = npt.NPEPFN(prior=tm.prior, filter_context_size=ctx, qry_chunk=1024)
+        est_tm.append_simulations(th_tm, x_tm)
+        post = est_tm.sample(1024, x_o, rng=jax.random.PRNGKey(82), max_iters=2)
+        c = float(metrics.c2st(jax.random.PRNGKey(83), post, gt))
+        s = np.asarray(post)
+        bal = float(min((s[:, 0] + s[:, 1] > 0).mean(), 1 - (s[:, 0] + s[:, 1] > 0).mean()))
+        rec = {"n_sims": n_sims, "context": ctx, "c2st_vs_exact": round(c, 4),
+               "mode_balance": round(bal, 3)}
+        OUT.setdefault("two_moons", []).append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # ---- 7. TSNPE sequential on two moons (truncation should sharpen) ----
+    section("tsnpe")
+    t0 = time.perf_counter()
+    est_seq = npt.run_tsnpe(
+        tm.simulator, tm.prior, x_o,
+        num_rounds=3, num_simulations=3000, rng=jax.random.PRNGKey(84),
+        filter_context_size=1024, qry_chunk=1024,
+        num_samples_to_estimate_support=2048,
+    )
+    post = est_seq.sample(1024, x_o, rng=jax.random.PRNGKey(85), max_iters=2)
+    c = float(metrics.c2st(jax.random.PRNGKey(86), post, gt))
+    rec = {"rounds": 3, "n_sims_total": 3000, "c2st_vs_exact": round(c, 4),
+           "wall_s": round(time.perf_counter() - t0, 1)}
+    OUT["tsnpe_two_moons"] = rec
+    print(json.dumps(rec), flush=True)
+
+    # ---- 8. strategy A vs B (reference sampling_comparison) --------------
+    section("strategy A/B")
+    n = 10
+    est3.sample(n, x3[0], rng=jax.random.PRNGKey(90), max_iters=1)
+    _, t_a = timed(est3.sample, n, x3[0], rng=jax.random.PRNGKey(91), max_iters=1)
+    est3.sample(1, x3[0], rng=jax.random.PRNGKey(92), max_iters=1)
+    t0 = time.perf_counter()
+    for j in range(n):
+        est3.sample(1, x3[j], rng=jax.random.PRNGKey(93 + j), max_iters=1)
+    t_b = time.perf_counter() - t0
+    OUT["strategyA_vs_B"] = {
+        "t_A_s": round(t_a, 3), "t_B_s": round(t_b, 3),
+        "speedup": round(t_b / max(t_a, 1e-9), 2),
+    }
+    print(json.dumps(OUT["strategyA_vs_B"]), flush=True)
+
     os.makedirs("results", exist_ok=True)
     with open("results/tpu_eval.json", "w") as f:
         json.dump(OUT, f, indent=2)
