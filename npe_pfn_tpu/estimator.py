@@ -609,8 +609,14 @@ class NPEPFN:
         m, dx = x.shape
         rng = self._next_rng(rng)
 
-        theta_ctx, x_ctx, ctx_mask = filters_mod.no_filtering(
-            None, self._theta_train, self._x_train, self.filter_context_size
+        # Shared context for all observations (filtering and batching are
+        # mutually exclusive, npe_pfn.py:707). The reference feeds ALL sims
+        # (npe_pfn.py:201-204); above the context budget we random-subsample
+        # rather than silently truncating to the oldest rows.
+        rng, ctx_rng = jax.random.split(rng)
+        theta_ctx, x_ctx, ctx_mask = filters_mod.random_filtering(
+            None, self._theta_train, self._x_train, self.filter_context_size,
+            rng=ctx_rng,
         )
 
         n_over = int(math.ceil(num_samples * (oversample if self.prior else 1.0)))
@@ -769,8 +775,11 @@ class NPEPFN:
         if self.embedding_net is not None:
             x = jnp.asarray(self.embedding_net(x))
         m, s, dth = theta.shape
-        theta_ctx, x_ctx, ctx_mask = filters_mod.no_filtering(
-            None, self._theta_train, self._x_train, self.filter_context_size
+        rng = self._next_rng(rng)
+        rng, ctx_rng = jax.random.split(rng)
+        theta_ctx, x_ctx, ctx_mask = filters_mod.random_filtering(
+            None, self._theta_train, self._x_train, self.filter_context_size,
+            rng=ctx_rng,
         )
         q = _round_up(m * s, self.qry_chunk)
         x_qry = jnp.repeat(x, s, axis=0)
