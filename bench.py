@@ -16,8 +16,18 @@ import time
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # Persistent compilation cache: the remote-compile service in this
+    # environment takes minutes for the sampling scan; the repo ships a
+    # warmed cache so bench startup is fast.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     sys.path.insert(0, ".")
     from npe_pfn_tpu import NPEPFN

@@ -32,6 +32,14 @@ def timed(fn, *a, **k):
 
 def main():
     import jax
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     import numpy as np
 
