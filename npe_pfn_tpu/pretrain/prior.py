@@ -47,6 +47,10 @@ class PriorConfig:
     latent_dim: int = 4           # z dim for stochastic conditionals
     p_inverse: float = 0.4        # mixture weights
     p_binary: float = 0.15
+    # v2 enrichment knobs (defaults = v1 behavior for resume compatibility):
+    p_heteroscedastic: float = 0.0    # input-dependent noise scale
+    p_heavy_tail: float = 0.0         # student-t-ish feature marginals
+    p_categorical_feats: float = 0.0  # quantize a random subset of features
 
 
 @dataclasses.dataclass
@@ -122,13 +126,35 @@ def _sample_one(rng: jax.Array, cfg: PriorConfig) -> Tuple[jnp.ndarray, ...]:
     x_fwd = x_raw * (1 - alpha) + (x_raw @ mix_w) * alpha
     uniformize = jax.random.bernoulli(ks[5], 0.3, (F,))
     x_fwd = jnp.where(uniformize, jax.scipy.stats.norm.cdf(x_fwd) * 2 - 1, x_fwd)
+    if cfg.p_heavy_tail > 0:
+        # Student-t-ish marginals: scale by an inverse-chi-like mixing factor.
+        k_ht1, k_ht2 = jax.random.split(jax.random.fold_in(ks[5], 1))
+        heavy = jax.random.bernoulli(k_ht1, cfg.p_heavy_tail, (F,))
+        mix = 1.0 / jnp.sqrt(
+            jax.random.gamma(k_ht2, 2.0, (R, F)) / 2.0 + 1e-3
+        )
+        x_fwd = jnp.where(heavy, x_fwd * mix, x_fwd)
+    if cfg.p_categorical_feats > 0:
+        k_c1, k_c2 = jax.random.split(jax.random.fold_in(ks[5], 2))
+        cat = jax.random.bernoulli(k_c1, cfg.p_categorical_feats, (F,))
+        n_levels = jax.random.randint(k_c2, (F,), 2, 8).astype(jnp.float32)
+        x_quant = jnp.round(
+            jax.scipy.stats.norm.cdf(x_fwd) * n_levels - 0.5
+        )
+        x_fwd = jnp.where(cat, x_quant, x_fwd)
     z = jax.random.normal(ks[6], (R, cfg.latent_dim))
     z_scale = jax.random.uniform(ks[7], (), minval=0.0, maxval=1.5)
     g_in = jnp.concatenate([x_fwd * feat_mask, z * z_scale], axis=-1)
     y_fwd = _random_mlp(ks[8], g_in, 1, cfg.hidden)[:, 0]
     sd_y = jnp.maximum(jnp.std(y_fwd), 1e-6)
     noise_scale = 10.0 ** jax.random.uniform(ks[9], (), minval=-3.0, maxval=-0.3)
-    y_fwd = y_fwd + jax.random.normal(ks[10], (R,)) * noise_scale * sd_y
+    noise = jax.random.normal(ks[10], (R,)) * noise_scale * sd_y
+    if cfg.p_heteroscedastic > 0:
+        k_h1, k_h2 = jax.random.split(jax.random.fold_in(ks[9], 1))
+        het = jax.random.bernoulli(k_h1, cfg.p_heteroscedastic)
+        gate = jax.nn.sigmoid(_random_mlp(k_h2, x_fwd * feat_mask, 1, cfg.hidden)[:, 0])
+        noise = jnp.where(het, noise * 2.0 * gate, noise)
+    y_fwd = y_fwd + noise
 
     # =========== family B: SBI inverse problem ==============================
     dth = cfg.max_theta_dim

@@ -137,3 +137,25 @@ def test_task_registry():
         lp = task.prior.log_prob(theta)
         assert np.all(np.isfinite(np.asarray(lp))), name
         assert bool(task.prior.support_check(theta).all()), name
+
+
+def test_prior_v2_enrichment():
+    """v2 prior knobs produce finite tasks and default to v1 behavior."""
+    import numpy as _np
+
+    from npe_pfn_tpu.pretrain import prior
+
+    base = prior.PriorConfig(num_features=8, num_ctx=32, num_qry=16,
+                             max_active_features=6, hidden=16)
+    v2 = prior.PriorConfig(num_features=8, num_ctx=32, num_qry=16,
+                           max_active_features=6, hidden=16,
+                           p_heteroscedastic=0.5, p_heavy_tail=0.3,
+                           p_categorical_feats=0.3)
+    b1 = prior.sample_tasks(jax.random.PRNGKey(0), 4, base)
+    b2 = prior.sample_tasks(jax.random.PRNGKey(0), 4, v2)
+    for b in (b1, b2):
+        assert bool(jnp.isfinite(b.x_ctx).all()) and bool(jnp.isfinite(b.y_qry).all())
+    # default config unchanged vs v1 path (same rng -> same data)
+    b1b = prior.sample_tasks(jax.random.PRNGKey(0), 4, prior.PriorConfig(
+        num_features=8, num_ctx=32, num_qry=16, max_active_features=6, hidden=16))
+    np.testing.assert_array_equal(np.asarray(b1.x_ctx), np.asarray(b1b.x_ctx))
