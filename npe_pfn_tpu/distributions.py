@@ -12,7 +12,7 @@ explicit PRNG keys.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import flax.struct
 import jax

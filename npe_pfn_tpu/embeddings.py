@@ -14,7 +14,7 @@ caps dx + dθ, so any x wider than the budget should be projected down.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -22,14 +22,14 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..estimator import NPEPFN
-from ..tasks import Task, get_task
+from ..tasks import Task
 from . import metrics as M
 
 

@@ -17,7 +17,6 @@ C2ST :119-280, MMD :283-320, Wasserstein via the external POT package
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ Contract (kept from the reference, support_posterior.py:326): filters return
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Tuple, Union
 
 import jax

@@ -17,7 +17,6 @@ normalized target space and densities are corrected by ``-log sd_y``.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import flax.struct

@@ -15,20 +15,17 @@ equality): attention against the gathered K/V in row order, masks included.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models import regressor
-from ..models.config import TabICAConfig
-from ..models.regressor import ContextStats, FittedContext, TabICAModel
+from ..models.regressor import FittedContext, TabICAModel
 from ..models.transformer import (
     _attn_core,
-    _block_qry,
     _embed_ctx,
     _embed_qry,
     _feat_attn_step,

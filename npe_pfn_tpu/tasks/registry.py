@@ -16,7 +16,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from ..distributions import BoxUniform, Distribution, MultivariateNormal, Normal
+from ..distributions import BoxUniform, Distribution, Normal
 
 
 @dataclasses.dataclass

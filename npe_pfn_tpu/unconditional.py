@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .estimator import NPEPFN, autoregressive_log_prob, autoregressive_sample, _round_up
+from .estimator import autoregressive_log_prob, autoregressive_sample, _round_up
 from .models import checkpoint as ckpt_mod
 from .models.regressor import TabICAModel
 

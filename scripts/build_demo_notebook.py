@@ -3,7 +3,6 @@
 saved outputs; this constructs ours programmatically and executes it)."""
 
 import os
-import sys
 
 import nbformat as nbf
 from nbclient import NotebookClient

@@ -22,7 +22,6 @@ def main():
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
-    import numpy as np
 
     from npe_pfn_tpu.eval.harness import summarize
 

@@ -3,8 +3,6 @@
 plus structural checks the reference lacks (batched≡loop kernel identity,
 deterministic seeding)."""
 
-import warnings
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,7 +1,6 @@
 """Metric sanity: same-distribution → null values, different → signal."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

@@ -6,8 +6,7 @@ import numpy as np
 import pytest
 
 from npe_pfn_tpu.models import TabICAConfig, TabICAModel
-from npe_pfn_tpu.parallel import get_mesh, make_sharded_train_step, sharded_autoregressive_sample
-from npe_pfn_tpu.pretrain import prior, train
+from npe_pfn_tpu.parallel import get_mesh, sharded_autoregressive_sample
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")

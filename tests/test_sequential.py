@@ -141,8 +141,6 @@ def test_task_registry():
 
 def test_prior_v2_enrichment():
     """v2 prior knobs produce finite tasks and default to v1 behavior."""
-    import numpy as _np
-
     from npe_pfn_tpu.pretrain import prior
 
     base = prior.PriorConfig(num_features=8, num_ctx=32, num_qry=16,
