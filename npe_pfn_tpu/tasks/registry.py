@@ -142,9 +142,58 @@ def _slcp_sim(rng, theta):
     return (m[None, :] + eps @ chol.T).reshape(8)
 
 
+def _slcp_log_likelihood(theta: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Exact log p(x|θ): four iid bivariate normals. theta [..., 5], x [8]."""
+    m = theta[..., :2]
+    s1 = theta[..., 2] ** 2
+    s2 = theta[..., 3] ** 2
+    rho = jnp.tanh(theta[..., 4])
+    v11 = s1**2 + 1e-6
+    v22 = s2**2 + 1e-6
+    v12 = rho * s1 * s2
+    det = v11 * v22 - v12**2
+    obs = x.reshape(4, 2)
+    d1 = obs[:, 0] - m[..., None, 0]  # [..., 4]
+    d2 = obs[:, 1] - m[..., None, 1]
+    maha = (
+        v22[..., None] * d1**2 - 2 * v12[..., None] * d1 * d2 + v11[..., None] * d2**2
+    ) / det[..., None]
+    return jnp.sum(
+        -0.5 * maha - 0.5 * jnp.log(det[..., None]) - math.log(2 * math.pi), axis=-1
+    )
+
+
+def _slcp_posterior_sampler(rng, x_o, n, num_chains: int = 256, num_steps: int = 4000):
+    """Reference posterior via vectorized random-walk Metropolis over the
+    box prior (exact likelihood above). Burn-in half; thin to n draws."""
+    lo, hi = -3.0 * jnp.ones(5), 3.0 * jnp.ones(5)
+    k_init, k_mh = jax.random.split(rng)
+    pos = jax.random.uniform(k_init, (num_chains, 5), minval=lo, maxval=hi)
+    logp = _slcp_log_likelihood(pos, x_o)
+    step_scale = 0.25
+
+    def mh_step(carry, key):
+        pos, logp = carry
+        k1, k2 = jax.random.split(key)
+        prop = pos + step_scale * jax.random.normal(k1, pos.shape)
+        inside = jnp.all((prop >= lo) & (prop <= hi), axis=-1)
+        logp_prop = jnp.where(inside, _slcp_log_likelihood(prop, x_o), -jnp.inf)
+        accept = jnp.log(jax.random.uniform(k2, (num_chains,))) < (logp_prop - logp)
+        pos = jnp.where(accept[:, None], prop, pos)
+        logp = jnp.where(accept, logp_prop, logp)
+        return (pos, logp), pos
+
+    keys = jax.random.split(k_mh, num_steps)
+    _, chain = jax.lax.scan(mh_step, (pos, logp), keys)
+    chain = chain[num_steps // 2 :]  # burn-in
+    flat = chain.reshape(-1, 5)
+    idx = jax.random.permutation(jax.random.fold_in(rng, 1), flat.shape[0])[:n]
+    return flat[idx]
+
+
 def slcp() -> Task:
     prior = BoxUniform(low=-3.0 * jnp.ones(5), high=3.0 * jnp.ones(5))
-    return Task("slcp", prior, _slcp_sim, 5, 8)
+    return Task("slcp", prior, _slcp_sim, 5, 8, _slcp_posterior_sampler)
 
 
 # --------------------------------------------------------------------------

@@ -174,6 +174,22 @@ def main():
         OUT.setdefault("two_moons", []).append(rec)
         print(json.dumps(rec), flush=True)
 
+    # ---- 6b. SLCP vs MCMC reference posterior ----------------------------
+    section("slcp")
+    sl = npt.tasks.get_task("slcp")
+    th_sl = jnp.array([0.7, -1.0, 1.2, 0.8, 0.5])
+    x_sl = sl.simulator(jax.random.PRNGKey(87), th_sl)
+    gt_sl = sl.posterior_sampler(jax.random.PRNGKey(88), x_sl, 1024)
+    for n_sims in (1000, 10_000):
+        th_s, x_s = sl.simulate(jax.random.PRNGKey(89), n_sims)
+        est_sl = npt.NPEPFN(prior=sl.prior, filter_context_size=1024, qry_chunk=1024)
+        est_sl.append_simulations(th_s, x_s)
+        post = est_sl.sample(1024, x_sl, rng=jax.random.PRNGKey(90), max_iters=2)
+        c = float(metrics.c2st(jax.random.PRNGKey(91), post, gt_sl))
+        rec = {"n_sims": n_sims, "c2st_vs_mcmc": round(c, 4)}
+        OUT.setdefault("slcp", []).append(rec)
+        print(json.dumps(rec), flush=True)
+
     # ---- 7. TSNPE sequential on two moons (truncation should sharpen) ----
     section("tsnpe")
     t0 = time.perf_counter()
