@@ -36,6 +36,10 @@ def main():
     p.add_argument("--num_qry", type=int, default=128)
     p.add_argument("--time_limit_s", type=float, default=None)
     p.add_argument("--no_resume", action="store_true")
+    # v2 prior enrichment (see npe_pfn_tpu/pretrain/prior.py)
+    p.add_argument("--p_heteroscedastic", type=float, default=0.0)
+    p.add_argument("--p_heavy_tail", type=float, default=0.0)
+    p.add_argument("--p_categorical_feats", type=float, default=0.0)
     args = p.parse_args()
 
     cfg = TabICAConfig(
@@ -56,6 +60,9 @@ def main():
         num_ctx=args.num_ctx,
         num_qry=args.num_qry,
         max_active_features=min(24, args.max_features),
+        p_heteroscedastic=args.p_heteroscedastic,
+        p_heavy_tail=args.p_heavy_tail,
+        p_categorical_feats=args.p_categorical_feats,
     )
 
     import jax
