@@ -532,9 +532,12 @@ class NPEPFN:
         return_acceptance_rate: bool = False,
         return_log_probs: bool = False,
         with_log_prob: bool = False,
+        max_sampling_batch_size: int = 10_000,
     ):
         """Posterior samples for ONE observation with rejection against the
         prior support (npe_pfn.py:253-308 + accept_reject_sampler.py:9-91).
+        max_sampling_batch_size caps the per-iteration proposal draw like the
+        reference (npe_pfn.py:257).
 
         Fixed-shape batches: every iteration draws the same padded batch, so
         the kernel compiles once. After max_iters the remainder is filled
@@ -568,6 +571,7 @@ class NPEPFN:
             ),
             accept_reject_fn=self._within_support,
             num_samples=num_samples,
+            batch_size=min(num_samples, max_sampling_batch_size),
             max_iters=max_iters,
             show_progress=show_progress,
         )

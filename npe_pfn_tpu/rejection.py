@@ -70,9 +70,16 @@ def accept_reject_sample(
             break
     if remaining > 0:
         # Escape hatch (accept_reject_sampler.py:74-77): fill with the last
-        # unfiltered batch; callers see it in the acceptance rate.
-        collected.append(last[0][:remaining])
-        collected_aux.append(jax.tree_util.tree_map(lambda a: a[:remaining], last[1]))
+        # unfiltered batch (tiled if the batch is smaller than the deficit);
+        # callers see it in the acceptance rate.
+        reps = -(-remaining // last[0].shape[0])
+
+        def fill(a):
+            tile_spec = (reps,) + (1,) * (a.ndim - 1)
+            return np.tile(a, tile_spec)[:remaining]
+
+        collected.append(fill(last[0]))
+        collected_aux.append(jax.tree_util.tree_map(fill, last[1]))
     samples = jnp.asarray(np.concatenate(collected, axis=0)[:num_samples])
     aux = jax.tree_util.tree_map(
         lambda *parts: jnp.asarray(np.concatenate(parts, axis=0)[:num_samples]),

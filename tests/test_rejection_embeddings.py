@@ -101,3 +101,19 @@ def test_image_task_with_embedding_end_to_end():
     est.append_simulations(theta, x)
     s = est.sample(8, x[0], rng=jax.random.PRNGKey(2))
     assert s.shape == (8, 3)
+
+
+def test_accept_reject_small_batch_fill():
+    """batch_size < num_samples with zero acceptance still returns the full
+    count (tiled escape hatch)."""
+
+    def proposal(rng, n):
+        return jax.random.normal(rng, (n, 2)), jnp.zeros((n,))
+
+    samples, aux, acc = npt.accept_reject_sample(
+        jax.random.PRNGKey(0), proposal, lambda s: s[:, 0] > 1e9, 100,
+        batch_size=16, max_iters=2,
+    )
+    assert samples.shape == (100, 2)
+    assert aux.shape == (100,)
+    assert acc == 0.0
