@@ -105,11 +105,19 @@ def evaluate_task(
 
 
 def _atomic_json(path: str, obj) -> None:
+    """Atomic JSON + pickle pair, like the reference's result saving
+    (evaluate_ropefm.py:950-961 writes both)."""
+    import pickle
+
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(obj, f, indent=2)
     os.replace(tmp, path)
+    pkl = path.rsplit(".", 1)[0] + ".pkl"
+    with open(pkl + ".tmp", "wb") as f:
+        pickle.dump(obj, f)
+    os.replace(pkl + ".tmp", pkl)
 
 
 def summarize(results: Dict) -> Dict:
