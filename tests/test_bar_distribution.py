@@ -18,6 +18,7 @@ def setup():
     return borders, logits
 
 
+@pytest.mark.fast
 def test_borders_shape_and_monotonic(setup):
     borders, _ = setup
     assert borders.shape == (65,)
@@ -33,6 +34,7 @@ def test_density_integrates_to_one(setup):
     assert np.isclose(float(integral), 1.0, atol=1e-3)
 
 
+@pytest.mark.fast
 def test_log_prob_finite_everywhere(setup):
     borders, logits = setup
     ys = jnp.array([-1e3, -4.0, 0.0, 3.999, 4.0, 1e3])
@@ -58,6 +60,7 @@ def test_mean_matches_samples(setup):
     assert abs(float(np.mean(np.asarray(samples))) - ana) < 0.02
 
 
+@pytest.mark.fast
 def test_icdf_cdf_roundtrip(setup):
     borders, logits = setup
     qs = jnp.array([0.01, 0.1, 0.5, 0.9, 0.99])
@@ -66,6 +69,7 @@ def test_icdf_cdf_roundtrip(setup):
     np.testing.assert_allclose(np.asarray(back), np.asarray(qs), atol=5e-3)
 
 
+@pytest.mark.fast
 def test_nll_is_negative_log_prob(setup):
     borders, logits = setup
     y = jnp.array([0.3])

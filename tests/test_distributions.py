@@ -3,11 +3,13 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import scipy.stats
 
 from npe_pfn_tpu import distributions as D
 
 
+@pytest.mark.fast
 def test_box_uniform():
     d = D.BoxUniform(low=jnp.array([-1.0, 0.0]), high=jnp.array([1.0, 4.0]))
     s = d.sample(jax.random.PRNGKey(0), (5000,))
@@ -19,6 +21,7 @@ def test_box_uniform():
     np.testing.assert_array_equal(np.asarray(lo), [-1.0, 0.0])
 
 
+@pytest.mark.fast
 def test_normal_log_prob_matches_scipy():
     d = D.Normal(loc=jnp.array([1.0, -2.0]), scale=jnp.array([0.5, 3.0]))
     x = np.array([[0.3, 0.7], [1.5, -4.0]])
@@ -27,6 +30,7 @@ def test_normal_log_prob_matches_scipy():
     np.testing.assert_allclose(ours, ref, rtol=1e-5)
 
 
+@pytest.mark.fast
 def test_mvn_log_prob_matches_scipy():
     cov = np.array([[2.0, 0.5], [0.5, 1.0]])
     d = D.MultivariateNormal(loc=jnp.array([1.0, -1.0]), cov=jnp.asarray(cov))
@@ -38,6 +42,7 @@ def test_mvn_log_prob_matches_scipy():
     np.testing.assert_allclose(np.cov(np.asarray(s).T), cov, atol=0.06)
 
 
+@pytest.mark.fast
 def test_logistic_log_prob_matches_scipy():
     d = D.Logistic(loc=jnp.array([0.0]), scale=jnp.array([2.0]))
     x = np.array([[0.5], [-3.0]])
@@ -49,6 +54,7 @@ def test_logistic_log_prob_matches_scipy():
     np.testing.assert_allclose(s.std(), 2.0 * np.pi / np.sqrt(3.0), rtol=0.03)
 
 
+@pytest.mark.fast
 def test_truncated_by_bounds():
     base = D.Normal(loc=jnp.zeros(1), scale=jnp.ones(1))
     t = D.TruncatedByBounds(base=base, low=jnp.array([0.0]), high=jnp.array([1.0]))
@@ -57,6 +63,7 @@ def test_truncated_by_bounds():
     assert not bool(t.support_check(jnp.array([-0.5])))
 
 
+@pytest.mark.fast
 def test_intersect_boxes():
     a = D.BoxUniform(low=jnp.array([-2.0]), high=jnp.array([2.0]))
     inter = D.intersect_boxes(a, jnp.array([0.0]), jnp.array([5.0]))

@@ -13,6 +13,7 @@ Regenerate (only for *intentional* numerics changes):
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from npe_pfn_tpu.models import TabICAConfig, TabICAModel, transformer
 from npe_pfn_tpu.models import bar_distribution as bar
@@ -27,6 +28,7 @@ GOLDEN_LOGITS_ROW0 = np.array(
 GOLDEN_BAR_LP = np.array([-0.930803, -1.808001, -4.066497])
 
 
+@pytest.mark.fast
 def test_transformer_golden():
     cfg = TabICAConfig(
         d_model=32, num_heads=2, num_layers=2, max_features=8, num_bars=16,
@@ -43,6 +45,7 @@ def test_transformer_golden():
     )
 
 
+@pytest.mark.fast
 def test_bar_distribution_golden():
     cfg = TabICAConfig(
         d_model=32, num_heads=2, num_layers=2, max_features=8, num_bars=16,

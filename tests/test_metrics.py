@@ -25,6 +25,7 @@ def test_c2st_null_and_signal(samples):
     assert sig > 0.9, sig
 
 
+@pytest.mark.fast
 def test_mmd_null_and_signal(samples):
     a, b, c = samples
     for kernel in ("multiscale", "rbf"):
@@ -33,6 +34,7 @@ def test_mmd_null_and_signal(samples):
         assert sig > null * 5, (kernel, null, sig)
 
 
+@pytest.mark.fast
 def test_sinkhorn_matches_exact(samples):
     a, b, c = samples
     approx = float(metrics.sinkhorn_w2(a[:200], c[:200]))
@@ -46,6 +48,7 @@ def test_sinkhorn_zero_for_identical(samples):
     assert d < 0.25, d
 
 
+@pytest.mark.fast
 def test_ks_per_dim(samples):
     a, b, c = samples
     p_null = metrics.ks_test_per_dim(a, b)

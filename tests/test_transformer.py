@@ -28,6 +28,7 @@ def data():
     return x_ctx, y_ctx, x_qry
 
 
+@pytest.mark.fast
 def test_forward_shape(model, data):
     x_ctx, y_ctx, x_qry = data
     logits = transformer.forward(CFG, model.params, x_ctx, y_ctx, x_qry)
@@ -35,6 +36,7 @@ def test_forward_shape(model, data):
     assert np.all(np.isfinite(np.asarray(logits)))
 
 
+@pytest.mark.fast
 def test_encode_decode_matches_joint(model, data):
     x_ctx, y_ctx, x_qry = data
     joint = transformer.forward(CFG, model.params, x_ctx, y_ctx, x_qry)
@@ -43,6 +45,7 @@ def test_encode_decode_matches_joint(model, data):
     np.testing.assert_allclose(np.asarray(joint), np.asarray(split), rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.fast
 def test_query_rows_independent(model, data):
     """Prediction for a query row must not depend on other query rows."""
     x_ctx, y_ctx, x_qry = data
@@ -61,6 +64,7 @@ def test_feature_permutation_invariance(model, data):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.fast
 def test_feature_mask_excludes_columns(model, data):
     """Masked feature columns must not influence predictions."""
     x_ctx, y_ctx, x_qry = data
