@@ -6,7 +6,7 @@
 # Usage: scripts/launch_evals.sh [tasks...]
 set -u
 cd "$(dirname "$0")/.."
-TASKS=${@:-"two_moons gaussian_linear slcp lotka_volterra sir"}
+TASKS=${@:-"two_moons gaussian_linear slcp lotka_volterra sir pendulum"}
 mkdir -p results/logs
 for task in $TASKS; do
     echo "launching eval: $task"
