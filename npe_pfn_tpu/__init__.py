@@ -20,6 +20,7 @@ from . import distributions, embeddings, filters, models, tasks  # noqa: F401
 from .estimator import NPEPFN, DensityRatioEstimator  # noqa: F401
 from .rejection import accept_reject_sample  # noqa: F401
 from .restricted_prior import RestrictedPrior  # noqa: F401
+from .serving import CachedPosterior  # noqa: F401
 from .support import PosteriorSupport, prereject_with_bounds  # noqa: F401
 from .tsnpe import run_tsnpe, simulate_for_sbi  # noqa: F401
 from .unconditional import UnconditionalEstimator  # noqa: F401
@@ -29,6 +30,7 @@ __all__ = [
     "DensityRatioEstimator",
     "PosteriorSupport",
     "RestrictedPrior",
+    "CachedPosterior",
     "UnconditionalEstimator",
     "accept_reject_sample",
     "run_tsnpe",

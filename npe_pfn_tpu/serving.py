@@ -1,0 +1,160 @@
+"""Serving layer: precomputed-context posteriors.
+
+Production-serving observation: the per-dimension context encodings (the
+"fit" analogs) depend only on the bound context — never on query rows or
+previously sampled values. So for a fixed observation all dθ encodings can
+be computed ONCE and every subsequent `sample` / `log_prob` call is
+decode-only. This collapses the cost of repeat sampling (the reference
+re-fits TabPFN per dimension on every call, npe_pfn.py:140) and makes the
+classic serving pattern — one observation, many requests — cheap.
+
+Also accelerates internals that hammer the same observation repeatedly:
+PosteriorSupport's rejection rounds and the ratio-path's 4k-sample draw.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .estimator import NPEPFN, _round_up
+from .models import regressor
+from .models.regressor import FittedContext, TabICAModel
+
+Array = jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=())
+def _precompute_dim_caches(
+    model: TabICAModel,
+    theta_ctx: Array,  # [N, dθ]
+    x_ctx: Array,  # [N, dx]
+    ctx_mask: Array,  # [N]
+) -> FittedContext:
+    """Encode the context once per θ-dimension; returns a FittedContext
+    whose leaves carry a leading dθ axis."""
+    n, dth = theta_ctx.shape
+    dx = x_ctx.shape[1]
+    f = model.cfg.max_features
+    xc = jnp.zeros((n, f), theta_ctx.dtype)
+    xc = xc.at[:, :dx].set(x_ctx).at[:, dx : dx + dth].set(theta_ctx)
+    col = jnp.arange(f)
+    feat_masks = col[None, :] < (dx + jnp.arange(dth))[:, None]  # [dθ, F]
+
+    return jax.vmap(
+        lambda y, fm: regressor.fit_encode(model, xc, y, fm, ctx_mask)
+    )(theta_ctx.T, feat_masks)
+
+
+@partial(jax.jit, static_argnames=("qry_chunk", "dx"))
+def _cached_sample(
+    model: TabICAModel,
+    caches: FittedContext,  # leaves stacked over dθ
+    x_qry: Array,  # [Q, dx]
+    rng: jax.Array,
+    qry_chunk: int,
+    dx: int,
+) -> Tuple[Array, Array]:
+    dth = caches.stats.mu_y.shape[0]
+    q = x_qry.shape[0]
+    f = model.cfg.max_features
+
+    def step(theta_sm, inp):
+        i, key = inp
+        fitted = jax.tree_util.tree_map(lambda a: a[i], caches)
+        xq = jnp.zeros((q, f), x_qry.dtype)
+        xq = xq.at[:, :dx].set(x_qry).at[:, dx : dx + dth].set(theta_sm)
+        logits = jax.lax.map(
+            lambda chunk: regressor.predict_logits(model, fitted, chunk),
+            xq.reshape(q // qry_chunk, qry_chunk, f),
+        ).reshape(q, -1)
+        th_i = regressor.sample_y(key, model, fitted, logits)
+        lp_i = regressor.log_prob_y(model, fitted, logits, th_i)
+        return theta_sm.at[:, i].set(th_i), lp_i
+
+    keys = jax.random.split(rng, dth)
+    theta0 = jnp.zeros((q, dth), x_qry.dtype)
+    theta, lps = jax.lax.scan(step, theta0, (jnp.arange(dth), keys))
+    return theta, jnp.sum(lps, axis=0)
+
+
+@partial(jax.jit, static_argnames=("qry_chunk", "dx"))
+def _cached_log_prob(
+    model: TabICAModel,
+    caches: FittedContext,
+    x_qry: Array,
+    theta_eval: Array,
+    qry_chunk: int,
+    dx: int,
+) -> Array:
+    dth = caches.stats.mu_y.shape[0]
+    q = x_qry.shape[0]
+    f = model.cfg.max_features
+    xq = jnp.zeros((q, f), x_qry.dtype)
+    xq = xq.at[:, :dx].set(x_qry).at[:, dx : dx + dth].set(theta_eval)
+    chunks = xq.reshape(q // qry_chunk, qry_chunk, f)
+
+    def step(_, i):
+        fitted = jax.tree_util.tree_map(lambda a: a[i], caches)
+        logits = jax.lax.map(
+            lambda chunk: regressor.predict_logits(model, fitted, chunk), chunks
+        ).reshape(q, -1)
+        lp_i = regressor.log_prob_y(
+            model, fitted, logits, jnp.take(theta_eval, i, axis=1)
+        )
+        return None, lp_i
+
+    _, lps = jax.lax.scan(step, None, jnp.arange(dth))
+    return jnp.sum(lps, axis=0)
+
+
+class CachedPosterior:
+    """A posterior bound to one observation with all dθ context encodings
+    precomputed. `sample`/`log_prob` are decode-only."""
+
+    def __init__(self, estimator: NPEPFN, x_o: Array, rng: Optional[jax.Array] = None):
+        self.estimator = estimator
+        x = estimator._prep_obs(jnp.asarray(x_o, jnp.float32))
+        if x.ndim == 2:
+            x = x[0]
+        self.x_o = x
+        rng = estimator._next_rng(rng)
+        theta_ctx, x_ctx, ctx_mask = estimator.get_context(x, rng)
+        self.dx = int(x_ctx.shape[1])
+        self.dim_theta = int(theta_ctx.shape[1])
+        self.caches = _precompute_dim_caches(
+            estimator.model, theta_ctx, x_ctx, ctx_mask
+        )
+
+    def sample(
+        self,
+        num_samples: int,
+        rng: Optional[jax.Array] = None,
+        return_log_probs: bool = False,
+    ):
+        est = self.estimator
+        rng = est._next_rng(rng)
+        q = _round_up(num_samples, est.qry_chunk)
+        x_qry = jnp.broadcast_to(self.x_o, (q, self.dx))
+        theta, lp = _cached_sample(
+            est.model, self.caches, x_qry, rng, est.qry_chunk, self.dx
+        )
+        theta, lp = theta[:num_samples], lp[:num_samples]
+        return (theta, lp) if return_log_probs else theta
+
+    def log_prob(self, theta: Array) -> Array:
+        est = self.estimator
+        theta = jnp.asarray(theta, jnp.float32)
+        n = theta.shape[0]
+        q = _round_up(n, est.qry_chunk)
+        x_qry = jnp.broadcast_to(self.x_o, (q, self.dx))
+        theta_pad = jnp.concatenate(
+            [theta, jnp.zeros((q - n, theta.shape[1]), theta.dtype)], axis=0
+        )
+        lp = _cached_log_prob(
+            est.model, self.caches, x_qry, theta_pad, est.qry_chunk, self.dx
+        )
+        return lp[:n]
