@@ -105,11 +105,26 @@ class PosteriorSupport(Distribution):
         self.allowed_false_negatives = allowed_false_negatives
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
 
+        # Serving path: all per-dimension context encodings for x_o are
+        # precomputed once; every threshold-tuning draw, rejection round and
+        # log_prob call below is decode-only (npe_pfn_tpu.serving).
+        self._cached = None
+        if hasattr(posterior, "model") and hasattr(posterior, "get_context"):
+            from .serving import CachedPosterior
+
+            self._rng, ck = jax.random.split(self._rng)
+            self._cached = CachedPosterior(posterior, self.x_o, rng=ck)
+
         # Tune threshold from posterior samples (support_posterior.py:54-69).
         self._rng, k = jax.random.split(self._rng)
-        samples, log_probs = posterior.sample(
-            num_samples_to_estimate_support, self.x_o, rng=k, return_log_probs=True
-        )
+        if self._cached is not None:
+            samples, log_probs = self._cached.sample(
+                num_samples_to_estimate_support, rng=k, return_log_probs=True
+            )
+        else:
+            samples, log_probs = posterior.sample(
+                num_samples_to_estimate_support, self.x_o, rng=k, return_log_probs=True
+            )
         self._posterior_samples = samples
         self.log_prob_threshold = float(
             jnp.quantile(log_probs, allowed_false_negatives)
@@ -136,15 +151,20 @@ class PosteriorSupport(Distribution):
 
     # -- Distribution protocol -------------------------------------------------
 
+    def _posterior_log_prob(self, theta: jnp.ndarray) -> jnp.ndarray:
+        if self._cached is not None:
+            return self._cached.log_prob(theta)
+        return self.posterior.log_prob(theta, self.x_o, mode="autoregressive")
+
     def log_prob(self, theta: jnp.ndarray) -> jnp.ndarray:
         """Unnormalized truncated-prior density: prior inside the accepted
         region, -inf outside (what TSNPE needs for proposal correction)."""
-        post_lp = self.posterior.log_prob(theta, self.x_o, mode="autoregressive")
+        post_lp = self._posterior_log_prob(theta)
         inside = post_lp > self.log_prob_threshold
         return jnp.where(inside, self.prior.log_prob(theta), -jnp.inf)
 
     def support_check(self, theta: jnp.ndarray) -> jnp.ndarray:
-        post_lp = self.posterior.log_prob(theta, self.x_o, mode="autoregressive")
+        post_lp = self._posterior_log_prob(theta)
         return (post_lp > self.log_prob_threshold) & self.prior.support_check(theta)
 
     def sample(
@@ -186,7 +206,7 @@ class PosteriorSupport(Distribution):
             )
             drawn += self.batch_size
             kept_pre += cand.shape[0]
-            lp = self.posterior.log_prob(cand, self.x_o, mode="autoregressive")
+            lp = self._posterior_log_prob(cand)
             keep = np.asarray(lp > self.log_prob_threshold)
             kept_post += int(keep.sum())
             idx = np.nonzero(keep)[0][: num_samples - got]
@@ -220,9 +240,14 @@ class PosteriorSupport(Distribution):
         k_draw, k_cat = jax.random.split(self._next(rng))
         m = self.oversample_sir
         total = num_samples * m
-        samples, post_lp = self.posterior.sample(
-            total, self.x_o, rng=k_draw, return_log_probs=True
-        )
+        if self._cached is not None:
+            samples, post_lp = self._cached.sample(
+                total, rng=k_draw, return_log_probs=True
+            )
+        else:
+            samples, post_lp = self.posterior.sample(
+                total, self.x_o, rng=k_draw, return_log_probs=True
+            )
         # Truncated-prior / posterior importance weights; adaptive threshold
         # re-tuned on this batch like the reference (support_posterior.py:219-220).
         thr = jnp.quantile(post_lp, self.allowed_false_negatives)

@@ -206,6 +206,31 @@ def main():
     OUT["tsnpe_two_moons"] = rec
     print(json.dumps(rec), flush=True)
 
+    # ---- 7b. serving: cached vs uncached repeat sampling ------------------
+    section("serving")
+    from npe_pfn_tpu.serving import CachedPosterior
+
+    cp = CachedPosterior(est, x_o, rng=jax.random.PRNGKey(95))
+    cp.sample(1024, rng=jax.random.PRNGKey(96))  # warm
+    t0 = time.perf_counter()
+    for j in range(20):
+        out = cp.sample(1024, rng=jax.random.PRNGKey(97 + j))
+    jax.block_until_ready(out)
+    t_cached = (time.perf_counter() - t0) / 20
+    est.sample(1024, x_o, rng=jax.random.PRNGKey(96), max_iters=1)  # warm
+    t0 = time.perf_counter()
+    for j in range(20):
+        out = est.sample(1024, x_o, rng=jax.random.PRNGKey(97 + j), max_iters=1)
+    jax.block_until_ready(out)
+    t_uncached = (time.perf_counter() - t0) / 20
+    OUT["serving"] = {
+        "request": "1024 samples, 10D task",
+        "uncached_ms": round(t_uncached * 1e3, 2),
+        "cached_ms": round(t_cached * 1e3, 2),
+        "speedup": round(t_uncached / max(t_cached, 1e-9), 2),
+    }
+    print(json.dumps(OUT["serving"]), flush=True)
+
     # ---- 8. strategy A vs B (reference sampling_comparison) --------------
     section("strategy A/B")
     n = 10
