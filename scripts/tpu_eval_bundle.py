@@ -1,10 +1,13 @@
 #!/usr/bin/env python
 """One-process TPU evaluation bundle.
 
-The axon TPU claim costs ~4 min per process, so all on-chip measurements run
-in a single process: headline bench, batched-vs-loop speedups, flash-kernel
-compiled parity + timing, quality check, context-length probe. Writes
-results/tpu_eval.json and prints progress lines.
+The axon TPU claim costs ~4 min per process and every new shape pays a
+minutes-long remote compile, so all on-chip measurements run in ONE process,
+in priority order, with results/tpu_eval.json rewritten after every section —
+a partial run still yields a complete artifact for everything it reached.
+
+    python scripts/tpu_eval_bundle.py                 # all sections
+    python scripts/tpu_eval_bundle.py headline quality # subset
 """
 
 import json
@@ -15,10 +18,13 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 OUT = {}
+RESULTS_PATH = "results/tpu_eval.json"
 
 
-def section(name):
-    print(f"=== {name} ===", flush=True)
+def save():
+    os.makedirs("results", exist_ok=True)
+    with open(RESULTS_PATH, "w") as f:
+        json.dump(OUT, f, indent=2)
 
 
 def timed(fn, *a, **k):
@@ -28,6 +34,253 @@ def timed(fn, *a, **k):
     out = fn(*a, **k)
     jax.block_until_ready(out)
     return out, time.perf_counter() - t0
+
+
+def sec_headline(ctx):
+    import jax
+
+    npt, metrics, jnp, np = ctx["npt"], ctx["metrics"], ctx["jnp"], ctx["np"]
+    task = npt.tasks.get_task("gaussian_linear", dim=10)
+    theta, x = task.simulate(jax.random.PRNGKey(0), 1000)
+    est = npt.NPEPFN(prior=task.prior, filter_context_size=512, qry_chunk=1024)
+    est.append_simulations(theta, x)
+    x_o = x[0]
+    num = 10_240
+    _, t_compile = timed(est.sample, num, x_o, rng=jax.random.PRNGKey(1), max_iters=1)
+    samples, t_run = timed(est.sample, num, x_o, rng=jax.random.PRNGKey(2), max_iters=1)
+    OUT["headline"] = {
+        "num_samples": num,
+        "compile_plus_first_s": round(t_compile, 2),
+        "steady_s": round(t_run, 3),
+        "samples_per_s": round(num / t_run, 1),
+    }
+    ctx["est10"], ctx["x_o10"] = est, x_o
+    print(json.dumps(OUT["headline"]), flush=True)
+
+
+def sec_quality(ctx):
+    import jax
+
+    npt, metrics, np = ctx["npt"], ctx["metrics"], ctx["np"]
+    task5 = npt.tasks.get_task("gaussian_linear", dim=5)
+    th5, x5 = task5.simulate(jax.random.PRNGKey(9), 4096)
+    for ctx_size in (512, 1024):
+        est5 = npt.NPEPFN(prior=task5.prior, filter_context_size=ctx_size, qry_chunk=1024)
+        est5.append_simulations(th5, x5)
+        c2sts, std_ratios = [], []
+        for j in range(4):
+            post = est5.sample(1024, x5[j], rng=jax.random.PRNGKey(20 + j), max_iters=1)
+            gt = task5.posterior_sampler(jax.random.PRNGKey(40 + j), x5[j], 1024)
+            c2sts.append(float(metrics.c2st(jax.random.PRNGKey(60 + j), post, gt)))
+            std_ratios.append(float((post.std(0) / gt.std(0)).mean()))
+        rec = {"context": ctx_size, "c2st": round(float(np.mean(c2sts)), 4),
+               "std_ratio": round(float(np.mean(std_ratios)), 4)}
+        OUT.setdefault("quality_vs_context", []).append(rec)
+        print(json.dumps(rec), flush=True)
+    ctx["task5"], ctx["th5"], ctx["x5"] = task5, th5, x5
+
+
+def sec_two_moons(ctx):
+    import jax
+
+    npt, metrics, jnp, np = ctx["npt"], ctx["metrics"], ctx["jnp"], ctx["np"]
+    tm = npt.tasks.get_task("two_moons")
+    theta_o = jnp.array([0.3, -0.4])
+    x_o = tm.simulator(jax.random.PRNGKey(99), theta_o)
+    gt = tm.posterior_sampler(jax.random.PRNGKey(80), x_o, 1024)
+    for n_sims, ctx_size in ((1000, 1024), (10_000, 2048)):
+        th_tm, x_tm = tm.simulate(jax.random.PRNGKey(81), n_sims)
+        est_tm = npt.NPEPFN(prior=tm.prior, filter_context_size=ctx_size, qry_chunk=1024)
+        est_tm.append_simulations(th_tm, x_tm)
+        post = est_tm.sample(1024, x_o, rng=jax.random.PRNGKey(82), max_iters=2)
+        c = float(metrics.c2st(jax.random.PRNGKey(83), post, gt))
+        s = np.asarray(post)
+        bal = float(min((s[:, 0] + s[:, 1] > 0).mean(), 1 - (s[:, 0] + s[:, 1] > 0).mean()))
+        rec = {"n_sims": n_sims, "context": ctx_size, "c2st_vs_exact": round(c, 4),
+               "mode_balance": round(bal, 3)}
+        OUT.setdefault("two_moons", []).append(rec)
+        print(json.dumps(rec), flush=True)
+    ctx["tm"], ctx["tm_x_o"], ctx["tm_gt"] = tm, x_o, gt
+
+
+def sec_slcp(ctx):
+    import jax
+
+    npt, metrics, jnp = ctx["npt"], ctx["metrics"], ctx["jnp"]
+    sl = npt.tasks.get_task("slcp")
+    th_sl = jnp.array([0.7, -1.0, 1.2, 0.8, 0.5])
+    x_sl = sl.simulator(jax.random.PRNGKey(87), th_sl)
+    gt_sl = sl.posterior_sampler(jax.random.PRNGKey(88), x_sl, 1024)
+    for n_sims in (10_000,):
+        th_s, x_s = sl.simulate(jax.random.PRNGKey(89), n_sims)
+        est_sl = npt.NPEPFN(prior=sl.prior, filter_context_size=1024, qry_chunk=1024)
+        est_sl.append_simulations(th_s, x_s)
+        post = est_sl.sample(1024, x_sl, rng=jax.random.PRNGKey(90), max_iters=2)
+        c = float(metrics.c2st(jax.random.PRNGKey(91), post, gt_sl))
+        rec = {"n_sims": n_sims, "c2st_vs_mcmc": round(c, 4)}
+        OUT.setdefault("slcp", []).append(rec)
+        print(json.dumps(rec), flush=True)
+
+
+def sec_serving(ctx):
+    import jax
+
+    npt = ctx["npt"]
+    from npe_pfn_tpu.serving import CachedPosterior
+
+    est, x_o = ctx["est10"], ctx["x_o10"]
+    cp = CachedPosterior(est, x_o, rng=jax.random.PRNGKey(95))
+    cp.sample(1024, rng=jax.random.PRNGKey(96))
+    t0 = time.perf_counter()
+    for j in range(20):
+        out = cp.sample(1024, rng=jax.random.PRNGKey(97 + j))
+    jax.block_until_ready(out)
+    t_cached = (time.perf_counter() - t0) / 20
+    est.sample(1024, x_o, rng=jax.random.PRNGKey(96), max_iters=1)
+    t0 = time.perf_counter()
+    for j in range(20):
+        out = est.sample(1024, x_o, rng=jax.random.PRNGKey(97 + j), max_iters=1)
+    jax.block_until_ready(out)
+    t_uncached = (time.perf_counter() - t0) / 20
+    OUT["serving"] = {
+        "request": "1024 samples, 10D task",
+        "uncached_ms": round(t_uncached * 1e3, 2),
+        "cached_ms": round(t_cached * 1e3, 2),
+        "speedup": round(t_uncached / max(t_cached, 1e-9), 2),
+    }
+    print(json.dumps(OUT["serving"]), flush=True)
+
+
+def sec_batched(ctx):
+    import jax
+
+    npt, jnp = ctx["npt"], ctx["jnp"]
+    task3 = npt.tasks.get_task("gaussian_linear", dim=3)
+    th3, x3 = task3.simulate(jax.random.PRNGKey(3), 1000)
+    x3 = jnp.concatenate([x3, jnp.tile(x3, (1, 3))[:, :7]], axis=1)
+    est3 = npt.NPEPFN(prior=task3.prior, filter_context_size=512, qry_chunk=1024)
+    est3.append_simulations(th3, x3)
+    for m in (5, 10, 20, 50):
+        est3.sample_batched(100, x3[:m], rng=jax.random.PRNGKey(4), max_iters=1)
+        _, t_b = timed(
+            est3.sample_batched, 100, x3[:m], rng=jax.random.PRNGKey(5), max_iters=1
+        )
+        est3.sample(100, x3[0], rng=jax.random.PRNGKey(6), max_iters=1)
+        t0 = time.perf_counter()
+        outs = [
+            est3.sample(100, x3[j], rng=jax.random.PRNGKey(7 + j), max_iters=1)
+            for j in range(m)
+        ]
+        jax.block_until_ready(outs)
+        t_l = time.perf_counter() - t0
+        rec = {"num_obs": m, "t_loop_s": round(t_l, 3), "t_batched_s": round(t_b, 3),
+               "speedup": round(t_l / t_b, 2)}
+        OUT.setdefault("batched_vs_loop", []).append(rec)
+        print(json.dumps(rec), flush=True)
+    ctx["est3"], ctx["x3"] = est3, x3
+
+
+def sec_strategy(ctx):
+    import jax
+
+    est3, x3 = ctx["est3"], ctx["x3"]
+    n = 10
+    est3.sample(n, x3[0], rng=jax.random.PRNGKey(90), max_iters=1)
+    _, t_a = timed(est3.sample, n, x3[0], rng=jax.random.PRNGKey(91), max_iters=1)
+    est3.sample(1, x3[0], rng=jax.random.PRNGKey(92), max_iters=1)
+    t0 = time.perf_counter()
+    for j in range(n):
+        est3.sample(1, x3[j], rng=jax.random.PRNGKey(93 + j), max_iters=1)
+    t_b = time.perf_counter() - t0
+    OUT["strategyA_vs_B"] = {
+        "t_A_s": round(t_a, 3), "t_B_s": round(t_b, 3),
+        "speedup": round(t_b / max(t_a, 1e-9), 2),
+    }
+    print(json.dumps(OUT["strategyA_vs_B"]), flush=True)
+
+
+def sec_ensembles(ctx):
+    import jax
+
+    npt, metrics = ctx["npt"], ctx["metrics"]
+    task5, th5, x5 = ctx["task5"], ctx["th5"], ctx["x5"]
+    for e in (4,):
+        est5 = npt.NPEPFN(
+            prior=task5.prior, filter_context_size=512, qry_chunk=1024, num_ensembles=e
+        )
+        est5.append_simulations(th5, x5)
+        post = est5.sample(1024, x5[0], rng=jax.random.PRNGKey(70), max_iters=1)
+        gt = task5.posterior_sampler(jax.random.PRNGKey(71), x5[0], 1024)
+        c = float(metrics.c2st(jax.random.PRNGKey(72), post, gt))
+        rec = {"num_ensembles": e, "c2st": round(c, 4)}
+        OUT.setdefault("ensembles", []).append(rec)
+        print(json.dumps(rec), flush=True)
+
+
+def sec_tsnpe(ctx):
+    import jax
+
+    npt, metrics = ctx["npt"], ctx["metrics"]
+    tm, x_o, gt = ctx["tm"], ctx["tm_x_o"], ctx["tm_gt"]
+    t0 = time.perf_counter()
+    est_seq = npt.run_tsnpe(
+        tm.simulator, tm.prior, x_o,
+        num_rounds=3, num_simulations=3000, rng=jax.random.PRNGKey(84),
+        filter_context_size=1024, qry_chunk=1024,
+        num_samples_to_estimate_support=2048,
+    )
+    post = est_seq.sample(1024, x_o, rng=jax.random.PRNGKey(85), max_iters=2)
+    c = float(metrics.c2st(jax.random.PRNGKey(86), post, gt))
+    OUT["tsnpe_two_moons"] = {
+        "rounds": 3, "n_sims_total": 3000, "c2st_vs_exact": round(c, 4),
+        "wall_s": round(time.perf_counter() - t0, 1),
+    }
+    print(json.dumps(OUT["tsnpe_two_moons"]), flush=True)
+
+
+def sec_flash(ctx):
+    import jax
+
+    jnp = ctx["jnp"]
+    try:
+        from npe_pfn_tpu.ops.flash_attention import (
+            flash_row_attention,
+            reference_row_attention,
+        )
+
+        b, h, hd = 33, 4, 32
+        for lk in (8192,):
+            ks = jax.random.split(jax.random.PRNGKey(8), 3)
+            q = jax.random.normal(ks[0], (b, 1024, h, hd), jnp.bfloat16)
+            k = jax.random.normal(ks[1], (b, lk, h, hd), jnp.bfloat16)
+            v = jax.random.normal(ks[2], (b, lk, h, hd), jnp.bfloat16)
+            mask = jnp.arange(lk) < (lk - 100)
+            out, t1 = timed(flash_row_attention, q, k, v, mask)
+            out2, t2 = timed(flash_row_attention, q, k, v, mask)
+            ref = reference_row_attention(
+                q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32), mask
+            )
+            err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref)))
+            rec = {"lk": lk, "steady_ms": round(t2 * 1e3, 2), "max_err": err}
+            OUT.setdefault("flash", []).append(rec)
+            print(json.dumps(rec), flush=True)
+    except Exception as e:
+        OUT["flash_error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        print("flash FAILED:", OUT["flash_error"], flush=True)
+
+
+SECTIONS = [
+    ("headline", sec_headline),
+    ("quality", sec_quality),
+    ("two_moons", sec_two_moons),
+    ("slcp", sec_slcp),
+    ("serving", sec_serving),
+    ("batched", sec_batched),
+    ("strategy", sec_strategy),
+    ("ensembles", sec_ensembles),
+    ("tsnpe", sec_tsnpe),
+    ("flash", sec_flash),
+]
 
 
 def main():
@@ -50,207 +303,28 @@ def main():
     print("devices:", jax.devices(), flush=True)
     model, trained = checkpoint.load_default()
     OUT["trained"] = trained
+    OUT["checkpoint_step"] = None
+    meta = "checkpoints/tabica_v1.npz.train_state.npz.meta.npz"
+    if os.path.exists(meta):
+        import numpy as _np
 
-    # ---- 1. headline: 10k samples, 10D gaussian linear ------------------
-    section("headline bench")
-    task = npt.tasks.get_task("gaussian_linear", dim=10)
-    theta, x = task.simulate(jax.random.PRNGKey(0), 1000)
-    est = npt.NPEPFN(prior=task.prior, filter_context_size=512, qry_chunk=1024)
-    est.append_simulations(theta, x)
-    x_o = x[0]
-    num = 10_240
-    _, t_compile = timed(est.sample, num, x_o, rng=jax.random.PRNGKey(1), max_iters=1)
-    samples, t_run = timed(est.sample, num, x_o, rng=jax.random.PRNGKey(2), max_iters=1)
-    OUT["headline"] = {
-        "num_samples": num,
-        "compile_plus_first_s": round(t_compile, 2),
-        "steady_s": round(t_run, 3),
-        "samples_per_s": round(num / t_run, 1),
-    }
-    print(json.dumps(OUT["headline"]), flush=True)
+        OUT["checkpoint_step"] = int(_np.load(meta)["step"])
 
-    # ---- 2. batched vs loop (reference headline table) -------------------
-    section("batched vs loop")
-    task3 = npt.tasks.get_task("gaussian_linear", dim=3)
-    th3, x3 = task3.simulate(jax.random.PRNGKey(3), 1000)
-    x3 = jnp.concatenate([x3, jnp.tile(x3, (1, 3))[:, :7]], axis=1)  # 10D x
-    est3 = npt.NPEPFN(prior=task3.prior, filter_context_size=512, qry_chunk=1024)
-    est3.append_simulations(th3, x3)
-    OUT["batched_vs_loop"] = []
-    for m in (5, 10, 20, 50):
-        est3.sample_batched(100, x3[:m], rng=jax.random.PRNGKey(4), max_iters=1)
-        _, t_b = timed(
-            est3.sample_batched, 100, x3[:m], rng=jax.random.PRNGKey(5), max_iters=1
-        )
-        est3.sample(100, x3[0], rng=jax.random.PRNGKey(6), max_iters=1)
+    ctx = {"npt": npt, "metrics": metrics, "jnp": jnp, "np": np}
+    wanted = sys.argv[1:] or [name for name, _ in SECTIONS]
+    for name, fn in SECTIONS:
+        if name not in wanted:
+            continue
+        print(f"=== {name} ===", flush=True)
         t0 = time.perf_counter()
-        outs = [
-            est3.sample(100, x3[j], rng=jax.random.PRNGKey(7 + j), max_iters=1)
-            for j in range(m)
-        ]
-        jax.block_until_ready(outs)
-        t_l = time.perf_counter() - t0
-        rec = {"num_obs": m, "t_loop_s": round(t_l, 3), "t_batched_s": round(t_b, 3),
-               "speedup": round(t_l / t_b, 2)}
-        OUT["batched_vs_loop"].append(rec)
-        print(json.dumps(rec), flush=True)
-
-    # ---- 3. flash kernel compiled parity + timing ------------------------
-    section("flash attention")
-    try:
-        from npe_pfn_tpu.ops.flash_attention import (
-            flash_row_attention,
-            reference_row_attention,
-        )
-
-        b, h, hd = 33, 4, 32
-        for lk in (2048, 8192):
-            ks = jax.random.split(jax.random.PRNGKey(8), 3)
-            q = jax.random.normal(ks[0], (b, 1024, h, hd), jnp.bfloat16)
-            k = jax.random.normal(ks[1], (b, lk, h, hd), jnp.bfloat16)
-            v = jax.random.normal(ks[2], (b, lk, h, hd), jnp.bfloat16)
-            mask = jnp.arange(lk) < (lk - 100)
-            out, t1 = timed(flash_row_attention, q, k, v, mask)
-            out2, t2 = timed(flash_row_attention, q, k, v, mask)
-            ref = reference_row_attention(
-                q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32), mask
-            )
-            err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref)))
-            rec = {"lk": lk, "steady_ms": round(t2 * 1e3, 2), "max_err": err}
-            OUT.setdefault("flash", []).append(rec)
-            print(json.dumps(rec), flush=True)
-    except Exception as e:  # keep the bundle alive; kernel perf is optional
-        OUT["flash_error"] = f"{type(e).__name__}: {str(e)[:300]}"
-        print("flash FAILED:", OUT["flash_error"], flush=True)
-
-    # ---- 4. quality on chip ----------------------------------------------
-    section("quality")
-    task5 = npt.tasks.get_task("gaussian_linear", dim=5)
-    th5, x5 = task5.simulate(jax.random.PRNGKey(9), 4096)
-    for ctx in (384, 512, 1024):
-        est5 = npt.NPEPFN(prior=task5.prior, filter_context_size=ctx, qry_chunk=1024)
-        est5.append_simulations(th5, x5)
-        c2sts, std_ratios = [], []
-        for j in range(4):
-            post = est5.sample(1024, x5[j], rng=jax.random.PRNGKey(20 + j), max_iters=1)
-            gt = task5.posterior_sampler(jax.random.PRNGKey(40 + j), x5[j], 1024)
-            c2sts.append(float(metrics.c2st(jax.random.PRNGKey(60 + j), post, gt)))
-            std_ratios.append(float((post.std(0) / gt.std(0)).mean()))
-        rec = {"context": ctx, "c2st": round(float(np.mean(c2sts)), 4),
-               "std_ratio": round(float(np.mean(std_ratios)), 4)}
-        OUT.setdefault("quality_vs_context", []).append(rec)
-        print(json.dumps(rec), flush=True)
-
-    # ---- 5. ensembles -----------------------------------------------------
-    section("ensembles")
-    for e in (1, 4):
-        est5 = npt.NPEPFN(
-            prior=task5.prior, filter_context_size=512, qry_chunk=1024, num_ensembles=e
-        )
-        est5.append_simulations(th5, x5)
-        post = est5.sample(1024, x5[0], rng=jax.random.PRNGKey(70), max_iters=1)
-        gt = task5.posterior_sampler(jax.random.PRNGKey(71), x5[0], 1024)
-        c = float(metrics.c2st(jax.random.PRNGKey(72), post, gt))
-        rec = {"num_ensembles": e, "c2st": round(c, 4)}
-        OUT.setdefault("ensembles", []).append(rec)
-        print(json.dumps(rec), flush=True)
-
-    # ---- 6. two moons vs exact posterior ---------------------------------
-    section("two moons")
-    tm = npt.tasks.get_task("two_moons")
-    theta_o = jnp.array([0.3, -0.4])
-    x_o = tm.simulator(jax.random.PRNGKey(99), theta_o)
-    gt = tm.posterior_sampler(jax.random.PRNGKey(80), x_o, 1024)
-    for n_sims, ctx in ((1000, 1024), (10_000, 1024), (10_000, 2048)):
-        th_tm, x_tm = tm.simulate(jax.random.PRNGKey(81), n_sims)
-        est_tm = npt.NPEPFN(prior=tm.prior, filter_context_size=ctx, qry_chunk=1024)
-        est_tm.append_simulations(th_tm, x_tm)
-        post = est_tm.sample(1024, x_o, rng=jax.random.PRNGKey(82), max_iters=2)
-        c = float(metrics.c2st(jax.random.PRNGKey(83), post, gt))
-        s = np.asarray(post)
-        bal = float(min((s[:, 0] + s[:, 1] > 0).mean(), 1 - (s[:, 0] + s[:, 1] > 0).mean()))
-        rec = {"n_sims": n_sims, "context": ctx, "c2st_vs_exact": round(c, 4),
-               "mode_balance": round(bal, 3)}
-        OUT.setdefault("two_moons", []).append(rec)
-        print(json.dumps(rec), flush=True)
-
-    # ---- 6b. SLCP vs MCMC reference posterior ----------------------------
-    section("slcp")
-    sl = npt.tasks.get_task("slcp")
-    th_sl = jnp.array([0.7, -1.0, 1.2, 0.8, 0.5])
-    x_sl = sl.simulator(jax.random.PRNGKey(87), th_sl)
-    gt_sl = sl.posterior_sampler(jax.random.PRNGKey(88), x_sl, 1024)
-    for n_sims in (1000, 10_000):
-        th_s, x_s = sl.simulate(jax.random.PRNGKey(89), n_sims)
-        est_sl = npt.NPEPFN(prior=sl.prior, filter_context_size=1024, qry_chunk=1024)
-        est_sl.append_simulations(th_s, x_s)
-        post = est_sl.sample(1024, x_sl, rng=jax.random.PRNGKey(90), max_iters=2)
-        c = float(metrics.c2st(jax.random.PRNGKey(91), post, gt_sl))
-        rec = {"n_sims": n_sims, "c2st_vs_mcmc": round(c, 4)}
-        OUT.setdefault("slcp", []).append(rec)
-        print(json.dumps(rec), flush=True)
-
-    # ---- 7. TSNPE sequential on two moons (truncation should sharpen) ----
-    section("tsnpe")
-    t0 = time.perf_counter()
-    est_seq = npt.run_tsnpe(
-        tm.simulator, tm.prior, x_o,
-        num_rounds=3, num_simulations=3000, rng=jax.random.PRNGKey(84),
-        filter_context_size=1024, qry_chunk=1024,
-        num_samples_to_estimate_support=2048,
-    )
-    post = est_seq.sample(1024, x_o, rng=jax.random.PRNGKey(85), max_iters=2)
-    c = float(metrics.c2st(jax.random.PRNGKey(86), post, gt))
-    rec = {"rounds": 3, "n_sims_total": 3000, "c2st_vs_exact": round(c, 4),
-           "wall_s": round(time.perf_counter() - t0, 1)}
-    OUT["tsnpe_two_moons"] = rec
-    print(json.dumps(rec), flush=True)
-
-    # ---- 7b. serving: cached vs uncached repeat sampling ------------------
-    section("serving")
-    from npe_pfn_tpu.serving import CachedPosterior
-
-    cp = CachedPosterior(est, x_o, rng=jax.random.PRNGKey(95))
-    cp.sample(1024, rng=jax.random.PRNGKey(96))  # warm
-    t0 = time.perf_counter()
-    for j in range(20):
-        out = cp.sample(1024, rng=jax.random.PRNGKey(97 + j))
-    jax.block_until_ready(out)
-    t_cached = (time.perf_counter() - t0) / 20
-    est.sample(1024, x_o, rng=jax.random.PRNGKey(96), max_iters=1)  # warm
-    t0 = time.perf_counter()
-    for j in range(20):
-        out = est.sample(1024, x_o, rng=jax.random.PRNGKey(97 + j), max_iters=1)
-    jax.block_until_ready(out)
-    t_uncached = (time.perf_counter() - t0) / 20
-    OUT["serving"] = {
-        "request": "1024 samples, 10D task",
-        "uncached_ms": round(t_uncached * 1e3, 2),
-        "cached_ms": round(t_cached * 1e3, 2),
-        "speedup": round(t_uncached / max(t_cached, 1e-9), 2),
-    }
-    print(json.dumps(OUT["serving"]), flush=True)
-
-    # ---- 8. strategy A vs B (reference sampling_comparison) --------------
-    section("strategy A/B")
-    n = 10
-    est3.sample(n, x3[0], rng=jax.random.PRNGKey(90), max_iters=1)
-    _, t_a = timed(est3.sample, n, x3[0], rng=jax.random.PRNGKey(91), max_iters=1)
-    est3.sample(1, x3[0], rng=jax.random.PRNGKey(92), max_iters=1)
-    t0 = time.perf_counter()
-    for j in range(n):
-        est3.sample(1, x3[j], rng=jax.random.PRNGKey(93 + j), max_iters=1)
-    t_b = time.perf_counter() - t0
-    OUT["strategyA_vs_B"] = {
-        "t_A_s": round(t_a, 3), "t_B_s": round(t_b, 3),
-        "speedup": round(t_b / max(t_a, 1e-9), 2),
-    }
-    print(json.dumps(OUT["strategyA_vs_B"]), flush=True)
-
-    os.makedirs("results", exist_ok=True)
-    with open("results/tpu_eval.json", "w") as f:
-        json.dump(OUT, f, indent=2)
-    print("WROTE results/tpu_eval.json", flush=True)
+        try:
+            fn(ctx)
+        except Exception as e:
+            OUT[f"{name}_error"] = f"{type(e).__name__}: {str(e)[:300]}"
+            print(f"{name} FAILED: {OUT[f'{name}_error']}", flush=True)
+        OUT.setdefault("section_wall_s", {})[name] = round(time.perf_counter() - t0, 1)
+        save()
+    print("WROTE", RESULTS_PATH, flush=True)
 
 
 if __name__ == "__main__":
