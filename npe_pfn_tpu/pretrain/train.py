@@ -134,16 +134,27 @@ def train(
     resume: bool = True,
     log_path: Optional[str] = None,
     time_limit_s: Optional[float] = None,
+    init_from: Optional[str] = None,
 ) -> TabICAModel:
-    """Full pretraining run with atomic checkpointing + resume."""
+    """Full pretraining run with atomic checkpointing + resume.
+
+    ``init_from``: warm-start the params from another checkpoint (trunk
+    copied, bar head upsampled if num_bars differs — see warmstart.py). Only
+    used when no resume state exists for ``ckpt_path`` itself.
+    """
     rng = jax.random.PRNGKey(tcfg.seed)
     model = TabICAModel.create(rng, cfg)
     params = model.params
+    state_path = ckpt_path + ".train_state.npz"
+    if init_from and not (resume and os.path.exists(state_path)):
+        from .warmstart import load_warmstart
+
+        params = load_warmstart(init_from, cfg).params
+        print(f"[pretrain] warm-started from {init_from}")
     opt = make_optimizer(tcfg)
     opt_state = opt.init(params)
     step = 0
 
-    state_path = ckpt_path + ".train_state.npz"
     if resume and os.path.exists(state_path):
         saved = pytree_io.load_pytree(state_path + ".meta.npz")
         step = int(saved["step"])

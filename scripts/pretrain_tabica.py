@@ -26,6 +26,10 @@ def main():
     p.add_argument("--max_steps", type=int, default=200_000)
     p.add_argument("--num_datasets", type=int, default=32)
     p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--warmup_steps", type=int, default=2000)
+    p.add_argument("--init_from", default=None,
+                   help="warm-start params from this checkpoint (head "
+                        "upsampled if num_bars differs)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--d_model", type=int, default=128)
     p.add_argument("--num_layers", type=int, default=6)
@@ -52,6 +56,7 @@ def main():
     tcfg = train.TrainConfig(
         num_datasets=args.num_datasets,
         lr=args.lr,
+        warmup_steps=args.warmup_steps,
         max_steps=args.max_steps,
         seed=args.seed,
     )
@@ -81,6 +86,7 @@ def main():
         resume=not args.no_resume,
         log_path=args.log,
         time_limit_s=args.time_limit_s,
+        init_from=args.init_from,
     )
 
 

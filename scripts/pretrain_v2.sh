@@ -1,18 +1,25 @@
 #!/bin/bash
-# Round-2 pretraining recipe: bigger head (finer bar resolution for
-# fine-structure posteriors like two moons), longer training contexts,
-# enriched prior. Starts FRESH (num_bars change is head-shape-incompatible
-# with the v1 checkpoint).
+# Round-2 pretraining recipe: 4x finer bar head (two-moons' crescent width is
+# below the 256-bar resolution), longer training contexts, enriched prior.
+#
+# Warm-starts from the v1 checkpoint: the trunk (131k steps) is copied
+# verbatim and the head is upsampled 256->1024 bars density-preservingly
+# (npe_pfn_tpu/pretrain/warmstart.py), so step 0 is exactly v1 quality and
+# every step after is refinement — far better use of a fixed wall-clock
+# budget than the original from-scratch plan.
 set -u
 cd "$(dirname "$0")/.."
-TOTAL_SECS=${TOTAL_SECS:-30000} STALL_SECS=480 exec scripts/pretrain_watchdog.sh \
+TOTAL_SECS=${TOTAL_SECS:-25200} STALL_SECS=600 exec scripts/pretrain_watchdog.sh \
     --ckpt checkpoints/tabica_v2.npz \
     --log checkpoints/train_log_v2.jsonl \
-    --max_steps 150000 \
+    --init_from checkpoints/tabica_v1.npz \
+    --max_steps 55000 \
     --num_datasets 8 \
     --num_bars 1024 \
-    --num_ctx 512 \
-    --d_model 144 \
-    --num_layers 7 \
+    --num_ctx 768 \
+    --d_model 128 \
+    --num_layers 6 \
+    --lr 1.5e-4 \
+    --warmup_steps 1000 \
     --p_heteroscedastic 0.3 --p_heavy_tail 0.2 --p_categorical_feats 0.2 \
     "$@"

@@ -1,0 +1,49 @@
+"""Warm-start head upsampling: 256→1024 bars must preserve the density."""
+
+import jax
+import jax.numpy as jnp
+
+from npe_pfn_tpu.models import bar_distribution as bar
+from npe_pfn_tpu.models.config import TabICAConfig
+from npe_pfn_tpu.models.regressor import TabICAModel
+from npe_pfn_tpu.models import regressor
+from npe_pfn_tpu.pretrain.warmstart import upsample_head
+
+
+def test_upsampled_head_density_matches_interior():
+    cfg = TabICAConfig(
+        d_model=32, num_heads=2, num_layers=2, max_features=6, num_bars=64,
+        dtype="float32",
+    )
+    model = TabICAModel.create(jax.random.PRNGKey(0), cfg)
+    r = 4
+    cfg2 = TabICAConfig(**{**cfg.__dict__, "num_bars": cfg.num_bars * r})
+    params2 = upsample_head(model.params, cfg.num_bars, cfg2.num_bars, cfg.bar_range)
+    model2 = TabICAModel(
+        cfg=cfg2, params=params2,
+        borders=bar.make_borders(cfg2.num_bars, cfg2.bar_range),
+    )
+
+    # Coarse borders must nest exactly inside the fine ones.
+    assert jnp.allclose(model.borders, model2.borders[::r], atol=1e-6)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (40, 6))
+    y = x[:, 0] + 0.1 * jax.random.normal(jax.random.PRNGKey(2), (40,))
+    fitted1 = regressor.fit_encode(model, x, y)
+    fitted2 = regressor.fit_encode(model2, x, y)
+    xq = jax.random.normal(jax.random.PRNGKey(3), (8, 6))
+    logits1 = regressor.predict_logits(model, fitted1, xq)
+    logits2 = regressor.predict_logits(model2, fitted2, xq)
+
+    # Interior evaluation points: with 64 coarse bars over equal-normal-mass
+    # borders the interior spans ±ndtri(1 - 1/64) ≈ ±2.15; the tail buckets
+    # beyond legitimately differ (the fine tail half-normal is narrower).
+    ygrid = jnp.linspace(-2.0, 2.0, 101)
+    lp1 = bar.log_prob(model.borders, logits1[:, None, :], ygrid[None, :])
+    lp2 = bar.log_prob(model2.borders, logits2[:, None, :], ygrid[None, :])
+    assert jnp.max(jnp.abs(lp1 - lp2)) < 1e-4, float(jnp.max(jnp.abs(lp1 - lp2)))
+
+    # Total interior mass within each coarse bucket is preserved too.
+    p1 = jax.nn.softmax(logits1, axis=-1)
+    p2 = jax.nn.softmax(logits2, axis=-1).reshape(logits1.shape[0], -1, r).sum(-1)
+    assert jnp.max(jnp.abs(p1 - p2)) < 1e-5
