@@ -334,13 +334,28 @@ class DensityRatioEstimator:
             padding,
         )
 
-    def ratio_log_probs(self, theta: Array) -> Array:
+    def ratio_log_probs(self, theta: Array, chunk_size: int = 10_000) -> Array:
         """Reference semantics npe_pfn.py:683-704: out-of-box θ gets the
-        floor log u + log ε − log(1+ε)."""
-        probs = regressor.predict_proba(
-            self.model, self._ctx_theta, self._ctx_labels, theta
-        )
-        p0, p1 = probs[..., 0], probs[..., 1]
+        floor log u + log ε − log(1+ε). θ is scored through the classifier in
+        chunks of ``chunk_size`` rows (the reference chunks by
+        max_sampling_batch_size, npe_pfn.py:436) so 100k-θ grids don't
+        materialize one giant joint forward."""
+        n = theta.shape[0]
+        p1_parts = []
+        for start in range(0, n, chunk_size):
+            chunk = theta[start : start + chunk_size]
+            nc = chunk.shape[0]
+            pad = _round_up(nc, 256) - nc  # fixed shape granule: no retraces
+            if pad:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.zeros((pad, chunk.shape[1]), chunk.dtype)], axis=0
+                )
+            probs = regressor.predict_proba(
+                self.model, self._ctx_theta, self._ctx_labels, chunk
+            )
+            p1_parts.append(np.asarray(probs[:nc, 1]))
+        p1 = jnp.asarray(np.concatenate(p1_parts, axis=0))
+        p0 = 1.0 - p1
         inside = jnp.all((theta >= self._low) & (theta <= self._high), axis=-1)
         lp = self._log_u + jnp.log(p1 + self.eps) - jnp.log(p0 + self.eps)
         floor = self._log_u + math.log(self.eps) - math.log(1 + self.eps)
@@ -591,19 +606,24 @@ class NPEPFN:
         oversample: float = 1.5,
         return_log_probs: bool = False,
         with_log_prob: bool = False,
+        obs_chunk: int = 128,
     ):
         """Samples for M observations at once → [M, num_samples, dθ]
-        (reference npe_pfn.py:310-410). Shared unfiltered context; ALL
-        (M × num_samples × oversample) query rows go through the scan in one
-        jitted call — the reference's "one predict per dim" invariant
-        (docs/sample_batched_implementation.md:230-237), here with context
-        *encoded* once per dim instead of refit.
+        (reference npe_pfn.py:310-410). Shared unfiltered context; query rows
+        go through the scan in jitted calls of at most ``obs_chunk``
+        observations each — the reference chunks its batched eval the same
+        way (evaluate_ropefm_batched.py:618-661, batch_size=128) so that
+        2000-obs grids stay within device memory.
 
         Unlike the reference — which can return short/raise after 10 tries
         (npe_pfn.py:400-402, SURVEY §3.2 edge) — undersupplied observations
-        are topped up with unfiltered draws, same escape hatch as sample().
+        are topped up with unused draws from the final batch (in-support rows
+        preferred). Per-obs top-up counts land in ``self.last_diagnostics``
+        ["topped_up"] alongside the overall acceptance rate.
         """
         num_samples = self._num_from_shape(num_samples)
+        if max_iters < 1:
+            raise ValueError("max_iters must be >= 1")
         return_log_probs = return_log_probs or with_log_prob
         x = jnp.asarray(x, jnp.float32)
         if x.ndim == 1:
@@ -618,18 +638,47 @@ class NPEPFN:
         # (npe_pfn.py:201-204); above the context budget we random-subsample
         # rather than silently truncating to the oldest rows.
         rng, ctx_rng = jax.random.split(rng)
-        theta_ctx, x_ctx, ctx_mask = filters_mod.random_filtering(
+        ctx = filters_mod.random_filtering(
             None, self._theta_train, self._x_train, self.filter_context_size,
             rng=ctx_rng,
         )
 
+        thetas, lps, topups, n_drawn, n_accepted = [], [], [], 0, 0
+        for start in range(0, m, obs_chunk):
+            rng, k = jax.random.split(rng)
+            t, l, tu, nd, na = self._sample_batched_group(
+                k, x[start : start + obs_chunk], num_samples, max_iters,
+                oversample, ctx,
+            )
+            thetas.append(t)
+            lps.append(l)
+            topups.append(tu)
+            n_drawn += nd
+            n_accepted += na
+        self.last_diagnostics = {
+            "topped_up": np.concatenate(topups),
+            "acceptance_rate": n_accepted / max(n_drawn, 1),
+        }
+        theta_out = jnp.asarray(np.concatenate(thetas, axis=0))
+        lp_out = jnp.asarray(np.concatenate(lps, axis=0))
+        return (theta_out, lp_out) if return_log_probs else theta_out
+
+    def _sample_batched_group(
+        self, rng, x: Array, num_samples: int, max_iters: int,
+        oversample: float, ctx,
+    ):
+        """Rejection loop for one chunk of observations (shared context)."""
+        theta_ctx, x_ctx, ctx_mask = ctx
+        m, dx = x.shape
+        oversample = max(oversample, 1.0)  # top-up fill requires n_over >= num
         n_over = int(math.ceil(num_samples * (oversample if self.prior else 1.0)))
         dth = self._theta_train.shape[1]
         got = [np.zeros((0, dth), np.float32) for _ in range(m)]
         got_lp = [np.zeros((0,), np.float32) for _ in range(m)]
+        taken = None
+        n_drawn, n_accepted = 0, 0
         for _ in range(max_iters):
-            need = max(num_samples - min(g.shape[0] for g in got), 0)
-            if need == 0:
+            if min(g.shape[0] for g in got) >= num_samples:
                 break
             rng, draw_rng = jax.random.split(rng)
             q = _round_up(m * n_over, self.qry_chunk)
@@ -645,20 +694,32 @@ class NPEPFN:
             mask = np.asarray(
                 self._within_support(jnp.asarray(theta.reshape(-1, dth)))
             ).reshape(m, n_over)
+            n_drawn += mask.size
+            n_accepted += int(mask.sum())
+            taken = []
             for j in range(m):
                 take = np.nonzero(mask[j])[0][: num_samples - got[j].shape[0]]
                 got[j] = np.concatenate([got[j], theta[j, take]], axis=0)
                 got_lp[j] = np.concatenate([got_lp[j], lp[j, take]], axis=0)
+                taken.append(take)
             if self.prior is None:
                 break
+        topped_up = np.zeros((m,), np.int64)
         for j in range(m):
             short = num_samples - got[j].shape[0]
-            if short > 0:  # escape hatch: unfiltered top-up
-                got[j] = np.concatenate([got[j], theta[j, :short]], axis=0)
-                got_lp[j] = np.concatenate([got_lp[j], lp[j, :short]], axis=0)
-        theta_out = jnp.asarray(np.stack(got)[:, :num_samples])
-        lp_out = jnp.asarray(np.stack(got_lp)[:, :num_samples])
-        return (theta_out, lp_out) if return_log_probs else theta_out
+            if short > 0:
+                # Escape hatch (reference accept_reject_sampler.py:74-77):
+                # fill from the final draw's UNUSED rows — in-support rows
+                # first, then out-of-support — never duplicating taken rows.
+                unused = np.setdiff1d(np.arange(n_over), taken[j], assume_unique=False)
+                order = np.argsort(~mask[j][unused], kind="stable")  # in-support first
+                fill = unused[order][:short]
+                got[j] = np.concatenate([got[j], theta[j, fill]], axis=0)
+                got_lp[j] = np.concatenate([got_lp[j], lp[j, fill]], axis=0)
+                topped_up[j] = short
+        theta_out = np.stack(got)[:, :num_samples]
+        lp_out = np.stack(got_lp)[:, :num_samples]
+        return theta_out, lp_out, topped_up, n_drawn, n_accepted
 
     def sample_batched_filtered(
         self,
@@ -727,8 +788,11 @@ class NPEPFN:
         mode: Optional[str] = None,
         num_ratio_samples: int = 4096,
         padding: float = 0.1,
+        max_sampling_batch_size: int = 10_000,
     ) -> Array:
-        """log q(θ|x) — autoregressive or ratio_based (npe_pfn.py:412-455)."""
+        """log q(θ|x) — autoregressive or ratio_based (npe_pfn.py:412-455).
+        θ is scored in chunks of ``max_sampling_batch_size`` rows (reference
+        npe_pfn.py:436) so 100k-θ evaluations stay within chip memory."""
         mode = mode or self.log_prob_mode
         theta = self._validate(jnp.asarray(theta, jnp.float32), "theta")
         x = self._prep_obs(x)
@@ -739,38 +803,52 @@ class NPEPFN:
             ctx_rng, rng = jax.random.split(rng)
             theta_ctx, x_ctx, ctx_mask = self.get_context(x, ctx_rng)
             n = theta.shape[0]
-            q = _round_up(n, self.qry_chunk)
-            pad = q - n
-            x_qry = jnp.broadcast_to(x, (q, x.shape[-1]))
-            theta_pad = jnp.concatenate(
-                [theta, jnp.zeros((pad, theta.shape[1]), theta.dtype)], axis=0
-            )
-            if self.num_ensembles > 1:
-                tc, xc, cm = split_context_ensemble(
-                    theta_ctx, x_ctx, ctx_mask, self.num_ensembles
+            cap = _round_up(max_sampling_batch_size, self.qry_chunk)
+            out = []
+            for start in range(0, n, cap):
+                chunk = theta[start : start + cap]
+                nc = chunk.shape[0]
+                q = _round_up(nc, self.qry_chunk)
+                x_qry = jnp.broadcast_to(x, (q, x.shape[-1]))
+                theta_pad = jnp.concatenate(
+                    [chunk, jnp.zeros((q - nc, chunk.shape[1]), chunk.dtype)], axis=0
                 )
-                lp = autoregressive_log_prob_ensemble(
-                    self.model, tc, xc, cm, x_qry, theta_pad, self.qry_chunk
-                )
-            else:
-                lp = autoregressive_log_prob(
-                    self.model, theta_ctx, x_ctx, ctx_mask, x_qry, theta_pad, self.qry_chunk
-                )
-            return lp[:n]
+                if self.num_ensembles > 1:
+                    tc, xc, cm = split_context_ensemble(
+                        theta_ctx, x_ctx, ctx_mask, self.num_ensembles
+                    )
+                    lp = autoregressive_log_prob_ensemble(
+                        self.model, tc, xc, cm, x_qry, theta_pad, self.qry_chunk
+                    )
+                else:
+                    lp = autoregressive_log_prob(
+                        self.model, theta_ctx, x_ctx, ctx_mask, x_qry, theta_pad,
+                        self.qry_chunk,
+                    )
+                out.append(np.asarray(lp[:nc]))
+            return jnp.asarray(np.concatenate(out, axis=0))
         if mode == "ratio_based":
             if self._ratio.refit_necessary(x, self._ctx_version, num_ratio_samples, padding):
                 s_rng, f_rng, rng = jax.random.split(rng, 3)
                 post = self.sample(num_ratio_samples, x, rng=s_rng)
                 self._ratio.model = self.model
                 self._ratio.fit(f_rng, post, x, self._ctx_version, padding)
-            return self._ratio.ratio_log_probs(theta)
+            return self._ratio.ratio_log_probs(
+                theta, chunk_size=max_sampling_batch_size
+            )
         raise ValueError(f"unknown log_prob mode {mode!r}")
 
     def log_prob_batched(
-        self, theta: Array, x: Array, rng: Optional[jax.Array] = None
+        self,
+        theta: Array,
+        x: Array,
+        rng: Optional[jax.Array] = None,
+        max_sampling_batch_size: int = 10_000,
     ) -> Array:
         """Batched autoregressive log-prob over M observations —
         unimplemented in the reference (npe_pfn.py:457-460), free here.
+        Rows are scored in chunks of ``max_sampling_batch_size`` (reference
+        chunking semantics, npe_pfn.py:436).
 
         theta: [M, S, dθ]; x: [M, dx] → [M, S].
         """
@@ -785,16 +863,23 @@ class NPEPFN:
             None, self._theta_train, self._x_train, self.filter_context_size,
             rng=ctx_rng,
         )
-        q = _round_up(m * s, self.qry_chunk)
-        x_qry = jnp.repeat(x, s, axis=0)
-        x_qry = jnp.concatenate(
-            [x_qry, jnp.zeros((q - m * s, x.shape[1]), x.dtype)], axis=0
-        )
-        theta_flat = theta.reshape(m * s, dth)
-        theta_flat = jnp.concatenate(
-            [theta_flat, jnp.zeros((q - m * s, dth), theta.dtype)], axis=0
-        )
-        lp = autoregressive_log_prob(
-            self.model, theta_ctx, x_ctx, ctx_mask, x_qry, theta_flat, self.qry_chunk
-        )
-        return lp[: m * s].reshape(m, s)
+        x_rows = jnp.repeat(x, s, axis=0)
+        theta_rows = theta.reshape(m * s, dth)
+        cap = _round_up(max_sampling_batch_size, self.qry_chunk)
+        out = []
+        for start in range(0, m * s, cap):
+            xr = x_rows[start : start + cap]
+            tr = theta_rows[start : start + cap]
+            nc = xr.shape[0]
+            q = _round_up(nc, self.qry_chunk)
+            xr = jnp.concatenate(
+                [xr, jnp.zeros((q - nc, x.shape[1]), x.dtype)], axis=0
+            )
+            tr = jnp.concatenate(
+                [tr, jnp.zeros((q - nc, dth), theta.dtype)], axis=0
+            )
+            lp = autoregressive_log_prob(
+                self.model, theta_ctx, x_ctx, ctx_mask, xr, tr, self.qry_chunk
+            )
+            out.append(np.asarray(lp[:nc]))
+        return jnp.asarray(np.concatenate(out, axis=0)).reshape(m, s)

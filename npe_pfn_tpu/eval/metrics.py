@@ -82,7 +82,8 @@ def c2st(
     a, b = _standardize(a[:n], b[:n])
     x = jnp.concatenate([a, b], axis=0)
     y = jnp.concatenate([jnp.zeros(n), jnp.ones(n)])
-    perm = jax.random.permutation(rng, 2 * n)
+    perm_rng, rng = jax.random.split(rng)  # independent of the fold keys
+    perm = jax.random.permutation(perm_rng, 2 * n)
     x, y = x[perm], y[perm]
     fold_size = (2 * n) // folds
     idx = jnp.arange(2 * n)

@@ -66,7 +66,6 @@ def standardized_euclidean_filtering(obs, theta, x, context_size: int, rng=None)
     n = theta.shape[0]
     if n <= context_size:
         return no_filtering(obs, theta, x, context_size)
-    mu = jnp.mean(x, axis=0)
     sd = jnp.maximum(jnp.std(x, axis=0), 1e-9)
     d2 = jnp.sum(jnp.square((x - obs) / sd), axis=-1)
     _, idx = jax.lax.top_k(-d2, context_size)
