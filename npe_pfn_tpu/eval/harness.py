@@ -49,6 +49,20 @@ def evaluate_task(
 ) -> Dict:
     """Full grid evaluation; returns (and optionally checkpoints) results."""
     estimator_kwargs = dict(estimator_kwargs or {})
+    if "embedding_net" not in estimator_kwargs:
+        # High-dimensional x (e.g. image tasks) exceeds the model's feature
+        # budget — compress with a seeded random projection, the reference's
+        # recipe for its 12288-D light_tunnel task (RandomProjection → 128,
+        # evaluate_ropefm_batched.py:61-111).
+        from ..embeddings import RandomProjectionEmbedding
+
+        model = estimator_kwargs.get("model")
+        f_budget = model.cfg.max_features if model is not None else 32
+        if task.dim_x + task.dim_theta > f_budget:
+            dout = min(f_budget - task.dim_theta, 24)
+            estimator_kwargs["embedding_net"] = RandomProjectionEmbedding(
+                task.dim_x, dout, seed=0
+            )
     results: Dict = {"task": task.name, "cells": {}}
     if results_path and os.path.exists(results_path):
         with open(results_path) as f:
@@ -93,7 +107,20 @@ def evaluate_task(
                 joint_est = jnp.concatenate([post, x_test], axis=1)
                 joint_true = jnp.concatenate([theta_test, x_test], axis=1)
                 n = min(metric_subsample, num_test)
-                cell["c2st"] = float(M.c2st(k_metric, joint_est[:n], joint_true[:n]))
+                if task.x_image_shape is not None:
+                    # Image-shaped x: trained conv discriminator over the
+                    # image part + plain θ dims (the reference's embedding-
+                    # aware CNN classifiers, evaluate_ropefm_batched.py:
+                    # 118-304, 668-711).
+                    cell["c2st"] = float(
+                        M.c2st_conv(
+                            k_metric, joint_est[:n], joint_true[:n],
+                            shape=tuple(task.x_image_shape),
+                            d_extra=task.dim_theta,
+                        )
+                    )
+                else:
+                    cell["c2st"] = float(M.c2st(k_metric, joint_est[:n], joint_true[:n]))
                 cell["wasserstein"] = float(M.sinkhorn_w2(post[:n], theta_test[:n]))
                 cell["mmd"] = float(M.mmd(post[:n], theta_test[:n]))
             cell["wall_s"] = time.time() - t0

@@ -124,6 +124,120 @@ def optax_sigmoid_ce(logits, labels):
 
 
 # ---------------------------------------------------------------------------
+# Trained convolutional C2ST discriminators
+#
+# The reference trains CNN classifiers for its image-shaped samples
+# (evaluate_ropefm_batched.py:118-304: ConvNN1D, ConvNN1DLight_v2, ConvNN2DLT,
+# and an embedding-aware DefaultMLP over [θ, embed(x)]). Here one generalized
+# trained discriminator covers all of them: a strided conv trunk (1D or 2D by
+# the rank of `shape`) over the image part, global mean+max pooled, optionally
+# concatenated with plain leading dims (θ for joint tests), then the same MLP
+# head — trained full-batch with Adam inside lax.scan, folds vmapped, the
+# whole metric one XLA program (vs the reference's per-fold torch loops).
+# ---------------------------------------------------------------------------
+
+
+def _conv_trunk_init(rng, shape, channels):
+    nd = len(shape)
+    k1, k2 = jax.random.split(rng)
+    if nd == 1:
+        w1 = jax.random.normal(k1, (channels, 1, 5)) / jnp.sqrt(5.0)
+        w2 = jax.random.normal(k2, (2 * channels, channels, 5)) / jnp.sqrt(5.0 * channels)
+    else:
+        w1 = jax.random.normal(k1, (channels, 1, 3, 3)) / 3.0
+        w2 = jax.random.normal(k2, (2 * channels, channels, 3, 3)) / (3.0 * jnp.sqrt(channels))
+    return {"w1": w1, "b1": jnp.zeros(channels), "w2": w2, "b2": jnp.zeros(2 * channels)}
+
+
+def _conv_trunk_apply(p, x, shape):
+    """x: [n, prod(shape)] → pooled features [n, 4*channels]."""
+    nd = len(shape)
+    n = x.shape[0]
+    h = x.reshape((n, 1) + tuple(shape))
+    if nd == 1:
+        dn, strides = ("NCH", "OIH", "NCH"), (2,)
+    else:
+        dn, strides = ("NCHW", "OIHW", "NCHW"), (2, 2)
+    h = jax.lax.conv_general_dilated(h, p["w1"], strides, "SAME", dimension_numbers=dn)
+    h = jax.nn.relu(h + p["b1"].reshape((1, -1) + (1,) * nd))
+    h = jax.lax.conv_general_dilated(h, p["w2"], strides, "SAME", dimension_numbers=dn)
+    h = jax.nn.relu(h + p["b2"].reshape((1, -1) + (1,) * nd))
+    spatial = tuple(range(2, 2 + nd))
+    return jnp.concatenate([jnp.mean(h, spatial), jnp.max(h, spatial)], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("shape", "d_extra", "folds", "epochs", "channels", "hidden"))
+def c2st_conv(
+    rng: jax.Array,
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    shape: tuple,
+    d_extra: int = 0,
+    folds: int = 5,
+    epochs: int = 200,
+    channels: int = 8,
+    hidden: int = 64,
+    lr: float = 2e-3,
+) -> jnp.ndarray:
+    """C2ST with a TRAINED conv discriminator for image-shaped samples.
+
+    a, b: [n, d_extra + prod(shape)] — the first d_extra columns are plain
+    dims (θ in joint tests), the rest a flattened image of `shape`
+    ((L,) → 1D convs, (H, W) → 2D convs). Returns accuracy in [0.5, 1].
+    """
+    import optax
+
+    n = min(a.shape[0], b.shape[0])
+    n = (n // folds) * folds
+    a, b = _standardize(a[:n], b[:n])
+    x = jnp.concatenate([a, b], axis=0)
+    y = jnp.concatenate([jnp.zeros(n), jnp.ones(n)])
+    perm_rng, rng = jax.random.split(rng)
+    perm = jax.random.permutation(perm_rng, 2 * n)
+    x, y = x[perm], y[perm]
+    x_extra, x_img = x[:, :d_extra], x[:, d_extra:]
+    fold_size = (2 * n) // folds
+    idx = jnp.arange(2 * n)
+
+    def run_fold(fold, key):
+        test_mask = (idx >= fold * fold_size) & (idx < (fold + 1) * fold_size)
+        train_w = (~test_mask).astype(jnp.float32)
+        k1, k2 = jax.random.split(key)
+        feat_dim = 4 * channels + d_extra
+        params = {
+            "conv": _conv_trunk_init(k1, shape, channels),
+            "mlp": _mlp_init(k2, feat_dim, hidden),
+        }
+
+        def logit_fn(p):
+            feats = _conv_trunk_apply(p["conv"], x_img, shape)
+            feats = jnp.concatenate([x_extra, feats], axis=-1)
+            return _mlp_logit(p["mlp"], feats)
+
+        def loss_fn(p):
+            ls = optax_sigmoid_ce(logit_fn(p), y)
+            return jnp.sum(ls * train_w) / jnp.sum(train_w)
+
+        opt = optax.adam(lr)
+        state = opt.init(params)
+
+        def step(carry, _):
+            p, s = carry
+            g = jax.grad(loss_fn)(p)
+            up, s = opt.update(g, s, p)
+            return (optax.apply_updates(p, up), s), None
+
+        (params, _), _ = jax.lax.scan(step, (params, state), None, length=epochs)
+        pred = (logit_fn(params) > 0).astype(jnp.float32)
+        correct = (pred == y).astype(jnp.float32)
+        return jnp.sum(correct * test_mask) / jnp.sum(test_mask)
+
+    keys = jax.random.split(rng, folds)
+    accs = jax.vmap(run_fold)(jnp.arange(folds), keys)
+    return jnp.mean(accs)
+
+
+# ---------------------------------------------------------------------------
 # MMD (evaluate_ropefm.py:283-320 semantics: multiscale / rbf kernels)
 # ---------------------------------------------------------------------------
 

@@ -29,6 +29,10 @@ class Task:
     # Analytic conditional posterior sampler, if one exists:
     # (rng, x_o, n) -> [n, dim_theta]
     posterior_sampler: Optional[Callable] = None
+    # Set when x is a flattened image: the eval harness then scores joint
+    # C2ST with a TRAINED conv discriminator (reference trains ConvNN1D/2D
+    # classifiers for such tasks, evaluate_ropefm_batched.py:118-304).
+    x_image_shape: Optional[tuple] = None
 
     def simulate(self, rng: jax.Array, num: int):
         """Draw (θ, x) pairs on device."""
@@ -338,7 +342,7 @@ def _bump_sim(rng, theta, size=32):
 
 def gaussian_bump_image() -> Task:
     prior = BoxUniform(low=jnp.array([-1.0, -1.0, -1.0]), high=jnp.array([1.0, 1.0, 1.0]))
-    return Task("gaussian_bump_image", prior, _bump_sim, 3, 1024)
+    return Task("gaussian_bump_image", prior, _bump_sim, 3, 1024, x_image_shape=(32, 32))
 
 
 _TASKS = {

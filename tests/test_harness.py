@@ -45,3 +45,17 @@ def test_harness_grid_and_resume(tmp_path, small_kwargs):
 
     summary = harness.summarize(res2)
     assert set(summary) == {10, 20}
+
+
+def test_harness_image_task_conv_c2st(tmp_path, small_kwargs):
+    """Image-shaped task: auto random-projection embedding + trained conv
+    joint C2ST (reference CNN classifiers, evaluate_ropefm_batched.py:118-304)."""
+    task = npt.tasks.get_task("gaussian_bump_image")
+    assert task.x_image_shape == (32, 32)
+    res = harness.evaluate_task(
+        task, num_cal_grid=(16,), seeds=(0,), num_test=10,
+        num_posterior_samples=8, estimator_kwargs=dict(small_kwargs),
+        results_path=str(tmp_path / "bump.json"),
+    )
+    cell = res["cells"]["num_cal=16/seed=0"]
+    assert 0.0 <= cell["c2st"] <= 1.0

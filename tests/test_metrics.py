@@ -1,6 +1,7 @@
 """Metric sanity: same-distribution → null values, different → signal."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -65,3 +66,49 @@ def test_c2st_embedded(samples):
     null = float(metrics.c2st_embedded(jax.random.PRNGKey(2), a, b, emb, epochs=100))
     sig = float(metrics.c2st_embedded(jax.random.PRNGKey(2), a, c, emb, epochs=100))
     assert null < 0.65 and sig > 0.85
+
+
+def _bump_images(rng, n, shift=0.0, size=16):
+    """Gaussian bumps at random centers; `shift` translates distribution b."""
+    k1, k2 = jax.random.split(rng)
+    centers = jax.random.uniform(k1, (n, 2), minval=4.0, maxval=size - 4.0) + shift
+    ii = jnp.arange(size)
+    grid = ii[None, :, None] - centers[:, 0][:, None, None]
+    gj = ii[None, None, :] - centers[:, 1][:, None, None]
+    img = jnp.exp(-(grid**2 + gj**2) / 8.0)
+    img = img + 0.05 * jax.random.normal(k2, (n, size, size))
+    return img.reshape(n, -1)
+
+
+def test_c2st_conv_2d_null_and_power():
+    """Trained conv discriminator (reference ConvNN2DLT analog,
+    evaluate_ropefm_batched.py:198-230): ~0.5 on identical image
+    distributions, high on a translated one."""
+    k = jax.random.PRNGKey(0)
+    a = _bump_images(jax.random.fold_in(k, 0), 150)
+    b = _bump_images(jax.random.fold_in(k, 1), 150)
+    # shift=5: center distributions overlap (3/8)^2 ≈ 14% → Bayes-optimal
+    # accuracy ≈ 0.93, leaving headroom over the 0.8 assertion.
+    c = _bump_images(jax.random.fold_in(k, 2), 150, shift=5.0)
+    null = float(metrics.c2st_conv(jax.random.PRNGKey(3), a, b, shape=(16, 16), epochs=120))
+    sig = float(metrics.c2st_conv(jax.random.PRNGKey(3), a, c, shape=(16, 16), epochs=120))
+    assert null < 0.65, null
+    assert sig > 0.8, sig
+
+
+def test_c2st_conv_1d_with_extra_dims():
+    """1D conv trunk + plain θ columns (reference's embedding-aware joint
+    classifier, evaluate_ropefm_batched.py:255-304): discrepancy carried
+    ONLY by the θ columns must still be detected."""
+    k = jax.random.PRNGKey(1)
+    n, L = 150, 64
+    t = jnp.linspace(0, 1, L)
+    freq = jax.random.uniform(jax.random.fold_in(k, 0), (2 * n, 1), minval=2.0, maxval=6.0)
+    sig = jnp.sin(2 * jnp.pi * freq * t[None, :])
+    sig = sig + 0.1 * jax.random.normal(jax.random.fold_in(k, 1), (2 * n, L))
+    th_a = jax.random.normal(jax.random.fold_in(k, 2), (n, 2))
+    th_c = jax.random.normal(jax.random.fold_in(k, 3), (n, 2)) + 2.0
+    a = jnp.concatenate([th_a, sig[:n]], axis=1)
+    c = jnp.concatenate([th_c, sig[n:]], axis=1)
+    acc = float(metrics.c2st_conv(jax.random.PRNGKey(4), a, c, shape=(L,), d_extra=2, epochs=120))
+    assert acc > 0.8, acc
