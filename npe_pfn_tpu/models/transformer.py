@@ -173,7 +173,7 @@ _FLASH_AUTO_MIN_KV = 2048
 
 
 def _flash_applicable(cfg: TabICAConfig, q_in: jnp.ndarray, kv_len: int) -> bool:
-    if cfg.flash == "off" or q_in.ndim != 3:
+    if cfg.flash == "off" or q_in.ndim < 3:
         return False
     if cfg.flash == "on":
         return True
@@ -183,26 +183,40 @@ def _flash_applicable(cfg: TabICAConfig, q_in: jnp.ndarray, kv_len: int) -> bool
 def _attn_core_flash(
     cfg: TabICAConfig,
     p: Params,
-    q_in: jnp.ndarray,  # [T, Lq, D]
-    k: jnp.ndarray,  # [T, Lk, H, hd]
+    q_in: jnp.ndarray,  # [..., T, Lq, D] — any leading batch dims
+    k: jnp.ndarray,  # [..., T, Lk, H, hd]
     v: jnp.ndarray,
-    kv_mask_1d: jnp.ndarray,  # [Lk]
+    kv_mask: jnp.ndarray,  # [..., Lk] (leading dims = q_in's minus T)
 ) -> jnp.ndarray:
+    """Flash dispatch with explicit flattening of leading batch dims (the
+    ensemble and sp paths carry [E, T, ...]); per-batch masks become [B, Lk]
+    rows for the kernel. vmapped calls route through the pallas batching
+    rule instead and never reach the ndim > 3 branch."""
     from ..ops.flash_attention import flash_row_attention
 
     dt = jnp.dtype(cfg.dtype)
-    q = jnp.einsum("tld,dhk->tlhk", q_in.astype(dt), p["wq"].astype(dt))
-    out = flash_row_attention(q, k, v, kv_mask_1d, interpret=cfg.flash_interpret)
+    q = jnp.einsum("...ld,dhk->...lhk", q_in.astype(dt), p["wq"].astype(dt))
+    lead = q.shape[:-3]  # (..., T)
+    lq, h, hd = q.shape[-3], q.shape[-2], q.shape[-1]
+    lk = k.shape[-3]
+    qf = q.reshape((-1, lq, h, hd))
+    kf = k.reshape((-1, lk, h, hd))
+    vf = v.reshape((-1, lk, h, hd))
+    if kv_mask.ndim == 1:
+        mf = kv_mask
+    else:
+        mf = jnp.broadcast_to(kv_mask[..., None, :], lead + (lk,)).reshape(-1, lk)
+    out = flash_row_attention(qf, kf, vf, mf, interpret=cfg.flash_interpret)
+    out = out.reshape(lead + (lq, h, hd))
     out = jnp.einsum(
-        "tlhd,hdm->tlm", out, p["wo"].astype(dt), preferred_element_type=jnp.float32
+        "...lhd,hdm->...lm", out, p["wo"].astype(dt), preferred_element_type=jnp.float32
     )
     return out + p["bo"]
 
 
 def _row_attn(cfg, p, q_in, k, v, ctx_mask):
-    """Row-axis attention with flash dispatch. ctx_mask: [..., N] (1-D when
-    unbatched — the only case the Pallas kernel handles)."""
-    if _flash_applicable(cfg, q_in, k.shape[-3]) and ctx_mask.ndim == 1:
+    """Row-axis attention with flash dispatch. ctx_mask: [..., N]."""
+    if _flash_applicable(cfg, q_in, k.shape[-3]):
         return _attn_core_flash(cfg, p, q_in, k, v, ctx_mask)
     return _attn_core(cfg, p, q_in, k, v, ctx_mask[..., None, :])
 
@@ -233,7 +247,11 @@ def _res_add(cfg, h, delta):
 
 def _feat_attn_step(cfg, p, h, token_mask):
     hn = _ln(p["ln_feat"], h)
-    return _res_add(cfg, h, _attn(cfg, p["feat_attn"], hn, hn, token_mask))
+    # token_mask: [..., T] — add a broadcast slot for the row axis (h is
+    # [..., R, T, D]) so batched leading dims line up.
+    return _res_add(
+        cfg, h, _attn(cfg, p["feat_attn"], hn, hn, token_mask[..., None, :])
+    )
 
 
 def _mlp_step(cfg, p, h):
@@ -275,9 +293,10 @@ def _block_joint(cfg, p, h_ctx, h_qry, token_mask, ctx_mask):
 
 
 def _embed(cfg, p, x, y_cell, feat_mask):
-    # x: [..., R, F] -> [..., R, F+1, D]; y_cell: [..., R, D].
+    # x: [..., R, F] -> [..., R, F+1, D]; y_cell: [..., R, D];
+    # feat_mask: [..., F] broadcast over the row axis.
     cells = x[..., None] * p["w_feat"] + p["b_feat"]
-    cells = jnp.where(feat_mask[..., :, None], cells, 0.0)
+    cells = jnp.where(feat_mask[..., None, :, None], cells, 0.0)
     return jnp.concatenate([cells, y_cell[..., None, :]], axis=-2)
 
 

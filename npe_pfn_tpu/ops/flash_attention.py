@@ -90,15 +90,19 @@ def flash_row_attention(
     q: jnp.ndarray,  # [B, Lq, H, hd]
     k: jnp.ndarray,  # [B, Lk, H, hd]
     v: jnp.ndarray,  # [B, Lk, H, hd]
-    kv_mask: jnp.ndarray,  # [Lk] bool — context-row validity
+    kv_mask: jnp.ndarray,  # [Lk] shared or [B, Lk] per-batch row validity
     block_q: int = 256,
     block_k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Softmax(q·kᵀ + mask)·v with online softmax; returns [B, Lq, H, hd].
 
-    B is the flattened (column-token) batch; H heads ride the grid. Lq and
-    Lk are padded up to block multiples internally.
+    B is the flattened (column-token × any outer batch, e.g. ensemble
+    members) batch; H heads ride the grid. Lq and Lk are padded up to block
+    multiples internally. ``kv_mask`` may be shared across the batch ([Lk])
+    or per-batch-row ([B, Lk], e.g. different ensemble-member contexts).
+    Also composes with jax.vmap (the batching rule lifts extra axes into the
+    grid), so vmapped ensemble/sp paths dispatch here too.
     """
     b, lq, h, hd = q.shape
     lk = k.shape[1]
@@ -113,7 +117,12 @@ def flash_row_attention(
     if lk_p != lk:
         k = jnp.pad(k, ((0, 0), (0, lk_p - lk), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, lk_p - lk), (0, 0), (0, 0)))
-    mask_f = jnp.pad(kv_mask.astype(jnp.float32), (0, lk_p - lk))[None, :]
+    if kv_mask.ndim == 1:
+        mask_f = jnp.pad(kv_mask.astype(jnp.float32), (0, lk_p - lk))[None, :]
+        mask_index = lambda i, iq, ik: (0, ik)
+    else:
+        mask_f = jnp.pad(kv_mask.astype(jnp.float32), ((0, 0), (0, lk_p - lk)))
+        mask_index = lambda i, iq, ik: (i // h, ik)
 
     # Fold (batch, heads) into one leading grid dim so every block is
     # [1, rows, hd] — rows divisible by 8, hd equal to the full trailing
@@ -149,7 +158,7 @@ def flash_row_attention(
             ),
             pl.BlockSpec(
                 (1, block_k),
-                lambda i, iq, ik: (0, ik),
+                mask_index,
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -175,9 +184,10 @@ def _round_up(n: int, m: int) -> int:
 
 
 def reference_row_attention(q, k, v, kv_mask):
-    """Pure-jnp reference for kernel parity tests."""
+    """Pure-jnp reference for kernel parity tests. kv_mask [Lk] or [B, Lk]."""
     scale = q.shape[-1] ** -0.5
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
-    s = jnp.where(kv_mask[None, None, None, :], s, -1e30)
+    m = kv_mask[None, :] if kv_mask.ndim == 1 else kv_mask
+    s = jnp.where(m[:, None, None, :], s, -1e30)
     p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", p, v)

@@ -39,6 +39,8 @@ def main():
     p.add_argument("--num_ctx", type=int, default=384)
     p.add_argument("--num_qry", type=int, default=128)
     p.add_argument("--time_limit_s", type=float, default=None)
+    p.add_argument("--ckpt_every", type=int, default=2000)
+    p.add_argument("--val_every", type=int, default=500)
     p.add_argument("--no_resume", action="store_true")
     # v2 prior enrichment (see npe_pfn_tpu/pretrain/prior.py)
     p.add_argument("--p_heteroscedastic", type=float, default=0.0)
@@ -59,6 +61,8 @@ def main():
         warmup_steps=args.warmup_steps,
         max_steps=args.max_steps,
         seed=args.seed,
+        ckpt_every=args.ckpt_every,
+        val_every=args.val_every,
     )
     pcfg = prior.PriorConfig(
         num_features=args.max_features,

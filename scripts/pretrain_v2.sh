@@ -9,7 +9,10 @@
 # budget than the original from-scratch plan.
 set -u
 cd "$(dirname "$0")/.."
-TOTAL_SECS=${TOTAL_SECS:-25200} STALL_SECS=600 exec scripts/pretrain_watchdog.sh \
+# ckpt_every 500: the remote TPU stream can stall mid-run (watchdog restarts
+# it); frequent checkpoints bound the lost work to ~4 minutes.
+TOTAL_SECS=${TOTAL_SECS:-25200} STALL_SECS=${STALL_SECS:-420} exec scripts/pretrain_watchdog.sh \
+    --ckpt_every 500 \
     --ckpt checkpoints/tabica_v2.npz \
     --log checkpoints/train_log_v2.jsonl \
     --init_from checkpoints/tabica_v1.npz \
