@@ -204,3 +204,28 @@ def predict_proba(
     logits, fitted = predict_full(model, x_ctx, labels.astype(jnp.float32), x_qry, feat_mask, ctx_mask)
     p1 = jnp.clip(predict_mean(model, fitted, logits), 1e-6, 1.0 - 1e-6)
     return jnp.stack([1.0 - p1, p1], axis=-1)
+
+
+def predict_proba_multiclass(
+    model: TabICAModel,
+    x_ctx: jnp.ndarray,
+    labels: jnp.ndarray,  # [N] ints in [0, num_classes)
+    x_qry: jnp.ndarray,
+    num_classes: int,
+    feat_mask: Optional[jnp.ndarray] = None,
+    ctx_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Multi-class ``TabPFNClassifier.predict_proba`` analog (the reference's
+    classifier is genuinely multi-class; npe_pfn.py:697-702 only ever uses
+    two classes). One-vs-rest: K posterior-mean regressions on the indicator
+    targets 1[label = k] — each is a calibrated estimate of P(y = k | x) —
+    vmapped over classes and normalized. Returns [..., Q, num_classes]."""
+    labels = labels.astype(jnp.int32)
+
+    def one_class(k):
+        y_k = (labels == k).astype(jnp.float32)
+        logits, fitted = predict_full(model, x_ctx, y_k, x_qry, feat_mask, ctx_mask)
+        return jnp.clip(predict_mean(model, fitted, logits), 1e-6, 1.0 - 1e-6)
+
+    p = jax.vmap(one_class, out_axes=-1)(jnp.arange(num_classes))
+    return p / jnp.sum(p, axis=-1, keepdims=True)
