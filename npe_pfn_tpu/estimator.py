@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import filters as filters_mod
+from . import preprocessing
 from .distributions import BoxUniform, Distribution
 from .models import checkpoint as ckpt_mod
 from .models import regressor
@@ -51,7 +52,7 @@ def _round_up(n: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("qry_chunk",))
+@partial(jax.jit, static_argnames=("qry_chunk", "target_transform"))
 def autoregressive_sample(
     model: TabICAModel,
     theta_ctx: Array,  # [N, dθ] context parameters
@@ -60,12 +61,18 @@ def autoregressive_sample(
     x_qry: Array,  # [Q, dx]  observation per query row (repeat per sample)
     rng: jax.Array,
     qry_chunk: int = 1024,
+    target_transform: str = "zscore",
 ) -> Tuple[Array, Array]:
     """Draw θ ~ q(θ|x) autoregressively per dimension.
 
     Replaces the reference hot loop npe_pfn.py:135-167 / 211-241. Returns
     (theta [Q, dθ], log_prob [Q]) — log-probs are the free by-product of
     sampling from the bar distribution.
+
+    ``target_transform="quantile"`` maps each dimension's context targets to
+    normal scores before encoding (TabPFN preprocessing-ensemble variant,
+    SURVEY §2.4) — adaptive bar resolution for thin posterior modes; samples
+    are mapped back and log-probs carry the Jacobian.
     """
     n, dth = theta_ctx.shape
     q, dx = x_qry.shape
@@ -84,7 +91,12 @@ def autoregressive_sample(
     def step(theta_sm, inp):
         i, key = inp
         feat_mask = col < dx + i
-        y_ctx = jnp.take(theta_ctx, i, axis=1)
+        y_raw = jnp.take(theta_ctx, i, axis=1)
+        if target_transform == "quantile":
+            qt = preprocessing.quantile_fit(y_raw, ctx_mask)
+            y_ctx = preprocessing.quantile_forward(qt, y_raw)
+        else:
+            y_ctx = y_raw
         fitted = regressor.fit_encode(model, xc, y_ctx, feat_mask, ctx_mask)
         xq = jnp.zeros((q, f), x_qry.dtype)
         xq = xq.at[:, :dx].set(x_qry).at[:, dx : dx + dth].set(theta_sm)
@@ -94,6 +106,9 @@ def autoregressive_sample(
         ).reshape(q, -1)
         th_i = regressor.sample_y(key, model, fitted, logits)
         lp_i = regressor.log_prob_y(model, fitted, logits, th_i)
+        if target_transform == "quantile":
+            th_i = preprocessing.quantile_inverse(qt, th_i)
+            lp_i = lp_i + preprocessing.quantile_log_det(qt, th_i)
         return theta_sm.at[:, i].set(th_i), lp_i
 
     keys = jax.random.split(rng, dth)
@@ -102,7 +117,7 @@ def autoregressive_sample(
     return theta, jnp.sum(lps, axis=0)
 
 
-@partial(jax.jit, static_argnames=("qry_chunk",))
+@partial(jax.jit, static_argnames=("qry_chunk", "target_transform"))
 def autoregressive_log_prob(
     model: TabICAModel,
     theta_ctx: Array,
@@ -111,6 +126,7 @@ def autoregressive_log_prob(
     x_qry: Array,  # [Q, dx]
     theta_eval: Array,  # [Q, dθ]
     qry_chunk: int = 1024,
+    target_transform: str = "zscore",
 ) -> Array:
     """Score log q(θ|x) autoregressively (reference npe_pfn.py:462-524).
     Like the reference, no truncation/leakage correction (npe_pfn.py:475).
@@ -129,20 +145,29 @@ def autoregressive_log_prob(
 
     def step(_, i):
         feat_mask = col < dx + i
-        y_ctx = jnp.take(theta_ctx, i, axis=1)
+        y_raw = jnp.take(theta_ctx, i, axis=1)
+        th_i = jnp.take(theta_eval, i, axis=1)
+        if target_transform == "quantile":
+            qt = preprocessing.quantile_fit(y_raw, ctx_mask)
+            y_ctx = preprocessing.quantile_forward(qt, y_raw)
+            th_eval_i = preprocessing.quantile_forward(qt, th_i)
+        else:
+            y_ctx, th_eval_i = y_raw, th_i
         fitted = regressor.fit_encode(model, xc, y_ctx, feat_mask, ctx_mask)
         logits = jax.lax.map(
             lambda chunk: regressor.predict_logits(model, fitted, chunk),
             xq_full.reshape(q // qry_chunk, qry_chunk, f),
         ).reshape(q, -1)
-        lp_i = regressor.log_prob_y(model, fitted, logits, jnp.take(theta_eval, i, axis=1))
+        lp_i = regressor.log_prob_y(model, fitted, logits, th_eval_i)
+        if target_transform == "quantile":
+            lp_i = lp_i + preprocessing.quantile_log_det(qt, th_i)
         return None, lp_i
 
     _, lps = jax.lax.scan(step, None, jnp.arange(dth))
     return jnp.sum(lps, axis=0)
 
 
-@partial(jax.jit, static_argnames=("qry_chunk",))
+@partial(jax.jit, static_argnames=("qry_chunk", "target_transform"))
 def autoregressive_sample_ensemble(
     model: TabICAModel,
     theta_ctx: Array,  # [E, Ne, dθ] — context split into E ensemble members
@@ -151,6 +176,7 @@ def autoregressive_sample_ensemble(
     x_qry: Array,  # [Q, dx]
     rng: jax.Array,
     qry_chunk: int = 1024,
+    target_transform: str = "zscore",
 ) -> Tuple[Array, Array]:
     """Ensemble-mixture autoregressive sampling.
 
@@ -173,7 +199,12 @@ def autoregressive_sample_ensemble(
     def step(theta_sm, inp):
         i, key = inp
         feat_mask = col < dx + i
-        y_ctx = jnp.take(theta_ctx, i, axis=2)  # [E, Ne]
+        y_raw = jnp.take(theta_ctx, i, axis=2)  # [E, Ne]
+        if target_transform == "quantile":
+            qts = jax.vmap(preprocessing.quantile_fit)(y_raw, ctx_mask)
+            y_ctx = jax.vmap(preprocessing.quantile_forward)(qts, y_raw)
+        else:
+            y_ctx = y_raw
         fitted = jax.vmap(
             lambda xcm, ycm, cmm: regressor.fit_encode(model, xcm, ycm, feat_mask, cmm)
         )(xc, y_ctx, ctx_mask)
@@ -190,12 +221,20 @@ def autoregressive_sample_ensemble(
         member = jax.random.randint(k_m, (q,), 0, e)
         yn = jax.vmap(lambda lg: _bar_sample(model, k_s, lg))(logits)  # [E, Q] norm
         y_e = yn * fitted.stats.sd_y[:, None] + fitted.stats.mu_y[:, None]
+        if target_transform == "quantile":
+            y_e = jax.vmap(preprocessing.quantile_inverse)(qts, y_e)
         th_i = jnp.take_along_axis(y_e, member[None, :], axis=0)[0]
 
-        yn_all = (th_i[None, :] - fitted.stats.mu_y[:, None]) / fitted.stats.sd_y[:, None]
+        th_b = jnp.broadcast_to(th_i[None, :], (e, q))
+        if target_transform == "quantile":
+            z_b = jax.vmap(preprocessing.quantile_forward)(qts, th_b)
+            jac = jax.vmap(preprocessing.quantile_log_det)(qts, th_b)
+        else:
+            z_b, jac = th_b, jnp.zeros((e, q), th_b.dtype)
+        yn_all = (z_b - fitted.stats.mu_y[:, None]) / fitted.stats.sd_y[:, None]
         lp_e = jax.vmap(
             lambda lg, ynm, sdm: _bar_log_prob(model, lg, ynm) - jnp.log(sdm)
-        )(logits, yn_all, jnp.broadcast_to(fitted.stats.sd_y[:, None], (e, q)))
+        )(logits, yn_all, jnp.broadcast_to(fitted.stats.sd_y[:, None], (e, q))) + jac
         lp_i = jax.scipy.special.logsumexp(lp_e, axis=0) - math.log(e)
         return theta_sm.at[:, i].set(th_i), lp_i
 
@@ -205,7 +244,7 @@ def autoregressive_sample_ensemble(
     return theta, jnp.sum(lps, axis=0)
 
 
-@partial(jax.jit, static_argnames=("qry_chunk",))
+@partial(jax.jit, static_argnames=("qry_chunk", "target_transform"))
 def autoregressive_log_prob_ensemble(
     model: TabICAModel,
     theta_ctx: Array,  # [E, Ne, dθ]
@@ -214,6 +253,7 @@ def autoregressive_log_prob_ensemble(
     x_qry: Array,  # [Q, dx]
     theta_eval: Array,  # [Q, dθ]
     qry_chunk: int = 1024,
+    target_transform: str = "zscore",
 ) -> Array:
     """Score log q(θ|x) under the same context-subset mixture that
     autoregressive_sample_ensemble draws from."""
@@ -231,7 +271,12 @@ def autoregressive_log_prob_ensemble(
 
     def step(_, i):
         feat_mask = col < dx + i
-        y_ctx = jnp.take(theta_ctx, i, axis=2)
+        y_raw = jnp.take(theta_ctx, i, axis=2)
+        if target_transform == "quantile":
+            qts = jax.vmap(preprocessing.quantile_fit)(y_raw, ctx_mask)
+            y_ctx = jax.vmap(preprocessing.quantile_forward)(qts, y_raw)
+        else:
+            y_ctx = y_raw
         fitted = jax.vmap(
             lambda xcm, ycm, cmm: regressor.fit_encode(model, xcm, ycm, feat_mask, cmm)
         )(xc, y_ctx, ctx_mask)
@@ -241,10 +286,16 @@ def autoregressive_log_prob_ensemble(
             ).reshape(q, -1)
         )(fitted)
         th_i = jnp.take(theta_eval, i, axis=1)
-        yn = (th_i[None, :] - fitted.stats.mu_y[:, None]) / fitted.stats.sd_y[:, None]
+        th_b = jnp.broadcast_to(th_i[None, :], (e, q))
+        if target_transform == "quantile":
+            z_b = jax.vmap(preprocessing.quantile_forward)(qts, th_b)
+            jac = jax.vmap(preprocessing.quantile_log_det)(qts, th_b)
+        else:
+            z_b, jac = th_b, jnp.zeros((e, q), th_b.dtype)
+        yn = (z_b - fitted.stats.mu_y[:, None]) / fitted.stats.sd_y[:, None]
         lp_e = jax.vmap(
             lambda lg, ynm, sdm: _bar_log_prob(model, lg, ynm) - jnp.log(sdm)
-        )(logits, yn, jnp.broadcast_to(fitted.stats.sd_y[:, None], (e, q)))
+        )(logits, yn, jnp.broadcast_to(fitted.stats.sd_y[:, None], (e, q))) + jac
         return None, jax.scipy.special.logsumexp(lp_e, axis=0) - math.log(e)
 
     _, lps = jax.lax.scan(step, None, jnp.arange(dth))
@@ -392,7 +443,10 @@ class NPEPFN:
         show_progress_bars: bool = False,
         x_shape: Optional[Tuple[int, ...]] = None,
         num_ensembles: int = 1,
+        target_transform: str = "zscore",
     ):
+        if target_transform not in ("zscore", "quantile"):
+            raise ValueError(f"unknown target_transform {target_transform!r}")
         if model is None:
             model, trained = ckpt_mod.load_default()
             if not trained:
@@ -413,6 +467,9 @@ class NPEPFN:
         self.show_progress_bars = show_progress_bars
         # TabPFN-style ensembling over context subsets (mixture of members).
         self.num_ensembles = int(num_ensembles)
+        # Target preprocessing: "zscore" (plain) or "quantile" (normal-score
+        # transform per θ-dimension — TabPFN preprocessing-ensemble variant).
+        self.target_transform = target_transform
         # Pre-embedding observation shape for reshaping raw inputs before the
         # embedding net (reference npe_pfn.py:272-274 x.reshape(-1, *x_shape)).
         self.x_shape = tuple(x_shape) if x_shape is not None else None
@@ -522,11 +579,13 @@ class NPEPFN:
                 theta_ctx, x_ctx, ctx_mask, self.num_ensembles
             )
             theta, lp = autoregressive_sample_ensemble(
-                self.model, tc, xc, cm, x_qry, rng, self.qry_chunk
+                self.model, tc, xc, cm, x_qry, rng, self.qry_chunk,
+                self.target_transform,
             )
         else:
             theta, lp = autoregressive_sample(
-                self.model, theta_ctx, x_ctx, ctx_mask, x_qry, rng, self.qry_chunk
+                self.model, theta_ctx, x_ctx, ctx_mask, x_qry, rng,
+                self.qry_chunk, self.target_transform,
             )
         return theta[:num], lp[:num]
 
@@ -687,7 +746,8 @@ class NPEPFN:
                 [x_qry, jnp.zeros((q - m * n_over, dx), x.dtype)], axis=0
             )
             theta, lp = autoregressive_sample(
-                self.model, theta_ctx, x_ctx, ctx_mask, x_qry, draw_rng, self.qry_chunk
+                self.model, theta_ctx, x_ctx, ctx_mask, x_qry, draw_rng,
+                self.qry_chunk, self.target_transform,
             )
             theta = np.asarray(theta[: m * n_over]).reshape(m, n_over, dth)
             lp = np.asarray(lp[: m * n_over]).reshape(m, n_over)
@@ -753,7 +813,7 @@ class NPEPFN:
 
         vmapped = jax.vmap(
             lambda tc, xc, cm, xq, k: autoregressive_sample(
-                self.model, tc, xc, cm, xq, k, chunk
+                self.model, tc, xc, cm, xq, k, chunk, self.target_transform
             )
         )
         outs, lps = [], []
@@ -818,12 +878,13 @@ class NPEPFN:
                         theta_ctx, x_ctx, ctx_mask, self.num_ensembles
                     )
                     lp = autoregressive_log_prob_ensemble(
-                        self.model, tc, xc, cm, x_qry, theta_pad, self.qry_chunk
+                        self.model, tc, xc, cm, x_qry, theta_pad, self.qry_chunk,
+                        self.target_transform,
                     )
                 else:
                     lp = autoregressive_log_prob(
                         self.model, theta_ctx, x_ctx, ctx_mask, x_qry, theta_pad,
-                        self.qry_chunk,
+                        self.qry_chunk, self.target_transform,
                     )
                 out.append(np.asarray(lp[:nc]))
             return jnp.asarray(np.concatenate(out, axis=0))
@@ -879,7 +940,8 @@ class NPEPFN:
                 [tr, jnp.zeros((q - nc, dth), theta.dtype)], axis=0
             )
             lp = autoregressive_log_prob(
-                self.model, theta_ctx, x_ctx, ctx_mask, xr, tr, self.qry_chunk
+                self.model, theta_ctx, x_ctx, ctx_mask, xr, tr, self.qry_chunk,
+                self.target_transform,
             )
             out.append(np.asarray(lp[:nc]))
         return jnp.asarray(np.concatenate(out, axis=0)).reshape(m, s)
