@@ -345,6 +345,120 @@ def gaussian_bump_image() -> Task:
     return Task("gaussian_bump_image", prior, _bump_sim, 3, 1024, x_image_shape=(32, 32))
 
 
+# --------------------------------------------------------------------------
+# Gaussian Mixture (2D θ) — sbibm formulation: x|θ is a two-scale mixture
+# around θ; tractable likelihood → exact grid posterior (multimodality-free
+# but heavy-tail/sharp-peak structure stresses the bar head's resolution).
+# --------------------------------------------------------------------------
+
+
+def _gaussian_mixture_sim(rng, theta, scale_wide=1.0, scale_narrow=0.1):
+    k_c, k_n = jax.random.split(rng)
+    narrow = jax.random.bernoulli(k_c, 0.5)
+    scale = jnp.where(narrow, scale_narrow, scale_wide)
+    return theta + scale * jax.random.normal(k_n, theta.shape)
+
+
+def _gaussian_mixture_log_likelihood(theta, x, scale_wide=1.0, scale_narrow=0.1):
+    """log p(x|θ) = log ½[N(x; θ, s_w²I) + N(x; θ, s_n²I)]. theta [..., 2]."""
+    d2 = jnp.sum(jnp.square(x - theta), axis=-1)
+    lw = -0.5 * d2 / scale_wide**2 - 2 * math.log(scale_wide)
+    ln = -0.5 * d2 / scale_narrow**2 - 2 * math.log(scale_narrow)
+    both = jnp.stack([lw, ln], axis=-1) - math.log(2 * math.pi) - math.log(2.0)
+    return jax.scipy.special.logsumexp(both, axis=-1)
+
+
+def _gaussian_mixture_posterior_sampler(rng, x_o, n, grid: int = 512):
+    """Exact posterior via dense grid over the box prior (same scheme as the
+    two-moons ground truth)."""
+    g = (jnp.arange(grid) + 0.5) / grid * 20.0 - 10.0
+    tt = jnp.stack(jnp.meshgrid(g, g, indexing="ij"), axis=-1).reshape(-1, 2)
+    logp = _gaussian_mixture_log_likelihood(tt, x_o)
+    k_cat, k_jit = jax.random.split(rng)
+    idx = jax.random.categorical(k_cat, logp, shape=(n,))
+    cell = 20.0 / grid
+    jitter = (jax.random.uniform(k_jit, (n, 2)) - 0.5) * cell
+    return tt[idx] + jitter
+
+
+def gaussian_mixture() -> Task:
+    prior = BoxUniform(low=-10.0 * jnp.ones(2), high=10.0 * jnp.ones(2))
+    return Task(
+        "gaussian_mixture", prior, _gaussian_mixture_sim, 2, 2,
+        _gaussian_mixture_posterior_sampler,
+    )
+
+
+# --------------------------------------------------------------------------
+# Bernoulli GLM (10D θ) — sbibm family: spike-train GLM with sufficient
+# summary statistics x = Vᵀz, so p(θ|z) = p(θ|x) is tractable → MCMC
+# reference posterior (same vectorized-MH scheme as SLCP).
+# --------------------------------------------------------------------------
+
+_GLM_T = 100  # time bins
+
+
+def _glm_design(dim=10):
+    """Fixed random design matrix [T, dim] (shared by simulator and
+    likelihood; deterministic seed so the task is reproducible)."""
+    v = jax.random.normal(jax.random.PRNGKey(1234), (_GLM_T, dim))
+    return v / jnp.sqrt(dim)
+
+
+def _bernoulli_glm_sim(rng, theta):
+    v = _glm_design(theta.shape[-1])
+    p = jax.nn.sigmoid(v @ theta)
+    z = jax.random.bernoulli(rng, p).astype(jnp.float32)
+    return v.T @ z  # sufficient statistic [dim]
+
+
+def _bernoulli_glm_log_likelihood(theta, x_o):
+    """log p(z|θ) as a function of the sufficient statistic x = Vᵀz:
+    x·θ − Σ_t log(1 + exp(V_t·θ)). theta [..., dim]."""
+    v = _glm_design(theta.shape[-1])
+    eta = theta @ v.T  # [..., T]
+    return jnp.sum(x_o * theta, axis=-1) - jnp.sum(jax.nn.softplus(eta), axis=-1)
+
+
+def _bernoulli_glm_posterior_sampler(
+    rng, x_o, n, num_chains: int = 256, num_steps: int = 4000, prior_scale=2.0
+):
+    dim = x_o.shape[-1]
+    k_init, k_mh = jax.random.split(rng)
+    pos = prior_scale * jax.random.normal(k_init, (num_chains, dim))
+
+    def log_post(th):
+        lp_prior = -0.5 * jnp.sum(jnp.square(th / prior_scale), axis=-1)
+        return lp_prior + _bernoulli_glm_log_likelihood(th, x_o)
+
+    logp = log_post(pos)
+    step_scale = 0.15
+
+    def mh_step(carry, key):
+        pos, logp = carry
+        k1, k2 = jax.random.split(key)
+        prop = pos + step_scale * jax.random.normal(k1, pos.shape)
+        logp_prop = log_post(prop)
+        accept = jnp.log(jax.random.uniform(k2, (num_chains,))) < (logp_prop - logp)
+        pos = jnp.where(accept[:, None], prop, pos)
+        logp = jnp.where(accept, logp_prop, logp)
+        return (pos, logp), pos
+
+    keys = jax.random.split(k_mh, num_steps)
+    _, chain = jax.lax.scan(mh_step, (pos, logp), keys)
+    flat = chain[num_steps // 2 :].reshape(-1, dim)
+    idx = jax.random.permutation(jax.random.fold_in(rng, 1), flat.shape[0])[:n]
+    return flat[idx]
+
+
+def bernoulli_glm(dim: int = 10) -> Task:
+    prior = Normal(loc=jnp.zeros(dim), scale=2.0 * jnp.ones(dim))
+    return Task(
+        "bernoulli_glm", prior, _bernoulli_glm_sim, dim, dim,
+        _bernoulli_glm_posterior_sampler,
+    )
+
+
 _TASKS = {
     "two_moons": two_moons,
     "gaussian_linear": gaussian_linear,
@@ -353,6 +467,8 @@ _TASKS = {
     "sir": sir,
     "pendulum": pendulum,
     "gaussian_bump_image": gaussian_bump_image,
+    "gaussian_mixture": gaussian_mixture,
+    "bernoulli_glm": bernoulli_glm,
 }
 
 

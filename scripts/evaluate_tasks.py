@@ -23,8 +23,19 @@ def main():
     p.add_argument("--num_posterior_samples", type=int, default=256)
     p.add_argument("--filter_context_size", type=int, default=512)
     p.add_argument("--qry_chunk", type=int, default=1024)
+    p.add_argument("--n_obs_eval", type=int, default=8,
+                   help="test observations averaged for conditional metrics")
+    p.add_argument("--target_transform", default="zscore",
+                   choices=["zscore", "quantile"])
     p.add_argument("--out", default="results")
     args = p.parse_args()
+
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from npe_pfn_tpu.eval import harness
     from npe_pfn_tpu.tasks import get_task
@@ -41,8 +52,10 @@ def main():
             estimator_kwargs={
                 "filter_context_size": args.filter_context_size,
                 "qry_chunk": args.qry_chunk,
+                "target_transform": args.target_transform,
             },
             results_path=path,
+            n_obs_eval=args.n_obs_eval,
         )
         summary = harness.summarize(results)
         with open(os.path.join(args.out, f"{task.name}.summary.json"), "w") as f:

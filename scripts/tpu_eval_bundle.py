@@ -77,6 +77,19 @@ def sec_quality(ctx):
                "std_ratio": round(float(np.mean(std_ratios)), 4)}
         OUT.setdefault("quality_vs_context", []).append(rec)
         print(json.dumps(rec), flush=True)
+    # unimodal regression check for the quantile transform: must stay ~0.5
+    est5q = npt.NPEPFN(prior=task5.prior, filter_context_size=512,
+                       qry_chunk=1024, target_transform="quantile")
+    est5q.append_simulations(th5, x5)
+    c2sts = []
+    for j in range(4):
+        post = est5q.sample(1024, x5[j], rng=jax.random.PRNGKey(20 + j), max_iters=1)
+        gt = task5.posterior_sampler(jax.random.PRNGKey(40 + j), x5[j], 1024)
+        c2sts.append(float(metrics.c2st(jax.random.PRNGKey(60 + j), post, gt)))
+    rec = {"context": 512, "target_transform": "quantile",
+           "c2st": round(float(np.mean(c2sts)), 4)}
+    OUT.setdefault("quality_vs_context", []).append(rec)
+    print(json.dumps(rec), flush=True)
     ctx["task5"], ctx["th5"], ctx["x5"] = task5, th5, x5
 
 
@@ -90,16 +103,19 @@ def sec_two_moons(ctx):
     gt = tm.posterior_sampler(jax.random.PRNGKey(80), x_o, 1024)
     for n_sims, ctx_size in ((1000, 1024), (10_000, 2048)):
         th_tm, x_tm = tm.simulate(jax.random.PRNGKey(81), n_sims)
-        est_tm = npt.NPEPFN(prior=tm.prior, filter_context_size=ctx_size, qry_chunk=1024)
-        est_tm.append_simulations(th_tm, x_tm)
-        post = est_tm.sample(1024, x_o, rng=jax.random.PRNGKey(82), max_iters=2)
-        c = float(metrics.c2st(jax.random.PRNGKey(83), post, gt))
-        s = np.asarray(post)
-        bal = float(min((s[:, 0] + s[:, 1] > 0).mean(), 1 - (s[:, 0] + s[:, 1] > 0).mean()))
-        rec = {"n_sims": n_sims, "context": ctx_size, "c2st_vs_exact": round(c, 4),
-               "mode_balance": round(bal, 3)}
-        OUT.setdefault("two_moons", []).append(rec)
-        print(json.dumps(rec), flush=True)
+        for tt in ("zscore", "quantile"):
+            est_tm = npt.NPEPFN(prior=tm.prior, filter_context_size=ctx_size,
+                                qry_chunk=1024, target_transform=tt)
+            est_tm.append_simulations(th_tm, x_tm)
+            post = est_tm.sample(1024, x_o, rng=jax.random.PRNGKey(82), max_iters=2)
+            c = float(metrics.c2st(jax.random.PRNGKey(83), post, gt))
+            s = np.asarray(post)
+            bal = float(min((s[:, 0] + s[:, 1] > 0).mean(),
+                            1 - (s[:, 0] + s[:, 1] > 0).mean()))
+            rec = {"n_sims": n_sims, "context": ctx_size, "target_transform": tt,
+                   "c2st_vs_exact": round(c, 4), "mode_balance": round(bal, 3)}
+            OUT.setdefault("two_moons", []).append(rec)
+            print(json.dumps(rec), flush=True)
     ctx["tm"], ctx["tm_x_o"], ctx["tm_gt"] = tm, x_o, gt
 
 
@@ -113,13 +129,16 @@ def sec_slcp(ctx):
     gt_sl = sl.posterior_sampler(jax.random.PRNGKey(88), x_sl, 1024)
     for n_sims in (10_000,):
         th_s, x_s = sl.simulate(jax.random.PRNGKey(89), n_sims)
-        est_sl = npt.NPEPFN(prior=sl.prior, filter_context_size=1024, qry_chunk=1024)
-        est_sl.append_simulations(th_s, x_s)
-        post = est_sl.sample(1024, x_sl, rng=jax.random.PRNGKey(90), max_iters=2)
-        c = float(metrics.c2st(jax.random.PRNGKey(91), post, gt_sl))
-        rec = {"n_sims": n_sims, "c2st_vs_mcmc": round(c, 4)}
-        OUT.setdefault("slcp", []).append(rec)
-        print(json.dumps(rec), flush=True)
+        for tt in ("zscore", "quantile"):
+            est_sl = npt.NPEPFN(prior=sl.prior, filter_context_size=1024,
+                                qry_chunk=1024, target_transform=tt)
+            est_sl.append_simulations(th_s, x_s)
+            post = est_sl.sample(1024, x_sl, rng=jax.random.PRNGKey(90), max_iters=2)
+            c = float(metrics.c2st(jax.random.PRNGKey(91), post, gt_sl))
+            rec = {"n_sims": n_sims, "target_transform": tt,
+                   "c2st_vs_mcmc": round(c, 4)}
+            OUT.setdefault("slcp", []).append(rec)
+            print(json.dumps(rec), flush=True)
 
 
 def sec_serving(ctx):
@@ -303,8 +322,9 @@ def main():
     print("devices:", jax.devices(), flush=True)
     model, trained = checkpoint.load_default()
     OUT["trained"] = trained
+    OUT["checkpoint"] = os.path.normpath(checkpoint.default_checkpoint_path())
     OUT["checkpoint_step"] = None
-    meta = "checkpoints/tabica_v1.npz.train_state.npz.meta.npz"
+    meta = checkpoint.default_checkpoint_path() + ".train_state.npz.meta.npz"
     if os.path.exists(meta):
         import numpy as _np
 

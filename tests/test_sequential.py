@@ -139,6 +139,36 @@ def test_task_registry():
         assert bool(task.prior.support_check(theta).all()), name
 
 
+def test_gaussian_mixture_ground_truth():
+    """Grid posterior concentrates around the generating θ (both mixture
+    scales keep the posterior centered on θ; width ≲ the wide component)."""
+    task = npt.tasks.get_task("gaussian_mixture")
+    theta_o = jnp.array([2.0, -3.0])
+    x_o = task.simulator(jax.random.PRNGKey(5), theta_o)
+    post = task.posterior_sampler(jax.random.PRNGKey(6), x_o, 2000)
+    assert post.shape == (2000, 2)
+    err = np.abs(np.asarray(post.mean(0)) - np.asarray(x_o))
+    assert np.all(err < 0.5), err  # posterior mean ≈ x_o for a flat prior
+    assert float(post.std(0).mean()) < 1.2
+
+
+def test_bernoulli_glm_ground_truth():
+    """MH reference posterior is finite, shaped, and shrinks toward θ_o
+    relative to the prior (sufficient-statistic likelihood is informative)."""
+    task = npt.tasks.get_task("bernoulli_glm")
+    theta_o = 0.8 * jax.random.normal(jax.random.PRNGKey(7), (10,))
+    x_o = task.simulator(jax.random.PRNGKey(8), theta_o)
+    post = task.posterior_sampler(
+        jax.random.PRNGKey(9), x_o, 1000, num_chains=64, num_steps=1500
+    )
+    assert post.shape == (1000, 10)
+    assert np.isfinite(np.asarray(post)).all()
+    prior_rmse = float(jnp.sqrt(jnp.mean(jnp.square(theta_o))))  # prior mean = 0
+    post_rmse = float(jnp.sqrt(jnp.mean(jnp.square(post.mean(0) - theta_o))))
+    assert post_rmse < prior_rmse, (post_rmse, prior_rmse)
+    assert float(post.std(0).mean()) < 2.0  # tighter than the prior scale
+
+
 def test_prior_v2_enrichment():
     """v2 prior knobs produce finite tasks and default to v1 behavior."""
     from npe_pfn_tpu.pretrain import prior
