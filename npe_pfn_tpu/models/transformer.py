@@ -192,7 +192,7 @@ def _attn_core_flash(
     ensemble and sp paths carry [E, T, ...]); per-batch masks become [B, Lk]
     rows for the kernel. vmapped calls route through the pallas batching
     rule instead and never reach the ndim > 3 branch."""
-    from ..ops.flash_attention import flash_row_attention
+    from ..ops.flash_attention import flash_row_attention_trainable
 
     dt = jnp.dtype(cfg.dtype)
     q = jnp.einsum("...ld,dhk->...lhk", q_in.astype(dt), p["wq"].astype(dt))
@@ -206,7 +206,12 @@ def _attn_core_flash(
         mf = kv_mask
     else:
         mf = jnp.broadcast_to(kv_mask[..., None, :], lead + (lk,)).reshape(-1, lk)
-    out = flash_row_attention(qf, kf, vf, mf, interpret=cfg.flash_interpret)
+    # Trainable variant: identical Pallas forward (plus an lse vector), and
+    # a chunked custom VJP — so 'auto'/'on' dispatch stays correct under
+    # jax.grad (long-context pretraining).
+    out = flash_row_attention_trainable(
+        qf, kf, vf, mf, interpret=cfg.flash_interpret
+    )
     out = out.reshape(lead + (lq, h, hd))
     out = jnp.einsum(
         "...lhd,hdm->...lm", out, p["wo"].astype(dt), preferred_element_type=jnp.float32

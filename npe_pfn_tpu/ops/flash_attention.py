@@ -183,6 +183,207 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+# ---------------------------------------------------------------------------
+# Trainable flash attention (custom VJP)
+#
+# The Pallas forward has no autodiff rule, so long-context *training* needs
+# an explicit VJP. Forward: the same online-softmax kernel, additionally
+# writing the per-query logsumexp (one [B·H, Lq] f32 vector — negligible).
+# Backward: the standard flash recomputation, expressed as a lax.scan over
+# key blocks in plain XLA — memory O(Lq·Bk) instead of O(Lq·Lk), MXU-bound
+# matmuls, no second Pallas kernel to maintain.
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel_lse(
+    q_ref, k_ref, v_ref, mask_ref, out_ref, lse_ref,
+    m_scratch, l_scratch, acc_scratch, *, scale: float, num_k_blocks: int,
+):
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, _NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    mask = mask_ref[0, :]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    s = s + (1.0 - mask)[None, :] * _NEG_INF
+
+    m_prev = m_scratch[:, :1]
+    l_prev = l_scratch[:, :1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scratch[:] = acc_scratch[:] * alpha + pv
+    m_scratch[:, :1] = m_new
+    l_scratch[:, :1] = l_new
+
+    @pl.when(kb == num_k_blocks - 1)
+    def _finalize():
+        l_fin = jnp.maximum(l_scratch[:, :1], 1e-30)
+        out_ref[0] = (acc_scratch[:] / l_fin).astype(out_ref.dtype)
+        lse_ref[0, :] = (m_scratch[:, 0] + jnp.log(l_fin[:, 0])).astype(
+            lse_ref.dtype
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def _flash_fwd_lse(q, k, v, kv_mask, block_q=256, block_k=512, interpret=False):
+    """Like flash_row_attention but also returns lse [B, H, Lq]."""
+    b, lq, h, hd = q.shape
+    lk = k.shape[1]
+    scale = hd**-0.5
+    block_q = min(block_q, _round_up(lq, 8))
+    block_k = min(block_k, _round_up(lk, 8))
+    lq_p = _round_up(lq, block_q)
+    lk_p = _round_up(lk, block_k)
+    if lq_p != lq:
+        q = jnp.pad(q, ((0, 0), (0, lq_p - lq), (0, 0), (0, 0)))
+    if lk_p != lk:
+        k = jnp.pad(k, ((0, 0), (0, lk_p - lk), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, lk_p - lk), (0, 0), (0, 0)))
+    if kv_mask.ndim == 1:
+        mask_f = jnp.pad(kv_mask.astype(jnp.float32), (0, lk_p - lk))[None, :]
+        mask_index = lambda i, iq, ik: (0, ik)
+    else:
+        mask_f = jnp.pad(kv_mask.astype(jnp.float32), ((0, 0), (0, lk_p - lk)))
+        mask_index = lambda i, iq, ik: (i // h, ik)
+
+    qf = jnp.swapaxes(q, 1, 2).reshape(b * h, lq_p, hd)
+    kf = jnp.swapaxes(k, 1, 2).reshape(b * h, lk_p, hd)
+    vf = jnp.swapaxes(v, 1, 2).reshape(b * h, lk_p, hd)
+    num_k_blocks = lk_p // block_k
+    grid = (b * h, lq_p // block_q, num_k_blocks)
+    kernel = functools.partial(
+        _flash_kernel_lse, scale=scale, num_k_blocks=num_k_blocks
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda i, iq, ik: (i, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, hd), lambda i, iq, ik: (i, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, hd), lambda i, iq, ik: (i, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k), mask_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda i, iq, ik: (i, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda i, iq, ik: (i, iq),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, lq_p, hd), q.dtype),
+            jax.ShapeDtypeStruct((b * h, lq_p), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, hd), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, mask_f)
+    out = jnp.swapaxes(out.reshape(b, h, lq_p, hd), 1, 2)[:, :lq]
+    lse = lse.reshape(b, h, lq_p)[:, :, :lq]
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def flash_row_attention_trainable(
+    q, k, v, kv_mask, block_q: int = 256, block_k: int = 512,
+    interpret: bool = False,
+):
+    """Differentiable flash attention: Pallas forward, chunked-XLA backward.
+    Same contract as flash_row_attention; safe under jax.grad / remat, so
+    long-context pretraining can dispatch to it (cfg.flash='auto')."""
+    out, _ = _flash_fwd_lse(q, k, v, kv_mask, block_q, block_k, interpret)
+    return out
+
+
+def _trainable_fwd(q, k, v, kv_mask, block_q, block_k, interpret):
+    out, lse = _flash_fwd_lse(q, k, v, kv_mask, block_q, block_k, interpret)
+    return out, (q, k, v, kv_mask, out, lse)
+
+
+def _trainable_bwd(block_q, block_k, interpret, res, d_out):
+    q, k, v, kv_mask, out, lse = res
+    b, lq, h, hd = q.shape
+    lk = k.shape[1]
+    scale = hd**-0.5
+    f32 = jnp.float32
+    qh = jnp.swapaxes(q, 1, 2).astype(f32)  # [B, H, Lq, hd]
+    doh = jnp.swapaxes(d_out, 1, 2).astype(f32)
+    outh = jnp.swapaxes(out, 1, 2).astype(f32)
+    delta = jnp.sum(doh * outh, axis=-1)  # [B, H, Lq]
+
+    lk_p = _round_up(lk, block_k)
+    pad = lk_p - lk
+    mask2 = kv_mask if kv_mask.ndim == 2 else jnp.broadcast_to(
+        kv_mask[None, :], (b, lk)
+    )
+    mask2 = jnp.pad(mask2.astype(f32), ((0, 0), (0, pad)))
+    kp = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))).astype(f32)
+    vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))).astype(f32)
+    nkb = lk_p // block_k
+    k_blocks = jnp.swapaxes(kp, 1, 2).reshape(b, h, nkb, block_k, hd)
+    k_blocks = jnp.moveaxis(k_blocks, 2, 0)  # [nkb, B, H, Bk, hd]
+    v_blocks = jnp.moveaxis(
+        jnp.swapaxes(vp, 1, 2).reshape(b, h, nkb, block_k, hd), 2, 0
+    )
+    m_blocks = jnp.moveaxis(mask2.reshape(b, nkb, block_k), 1, 0)  # [nkb, B, Bk]
+
+    def block_step(dq_acc, blk):
+        kb, vb, mb = blk  # [B,H,Bk,hd], [B,H,Bk,hd], [B,Bk]
+        s = jnp.einsum("bhqd,bhkd->bhqk", qh, kb) * scale
+        s = s + (1.0 - mb)[:, None, None, :] * _NEG_INF
+        p = jnp.exp(s - lse[..., None])  # [B,H,Lq,Bk]
+        dv = jnp.einsum("bhqk,bhqd->bhkd", p, doh)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", doh, vb)
+        ds = p * (dp - delta[..., None]) * scale
+        dq_acc = dq_acc + jnp.einsum("bhqk,bhkd->bhqd", ds, kb)
+        dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qh)
+        return dq_acc, (dk, dv)
+
+    dq0 = jnp.zeros_like(qh)
+    dq, (dk_b, dv_b) = jax.lax.scan(block_step, dq0, (k_blocks, v_blocks, m_blocks))
+    dk = jnp.moveaxis(dk_b, 0, 2).reshape(b, h, lk_p, hd)[:, :, :lk]
+    dv = jnp.moveaxis(dv_b, 0, 2).reshape(b, h, lk_p, hd)[:, :, :lk]
+    d_mask = jnp.zeros(kv_mask.shape, f32)
+    if jnp.issubdtype(kv_mask.dtype, jnp.bool_) or jnp.issubdtype(
+        kv_mask.dtype, jnp.integer
+    ):
+        import numpy as _np
+
+        d_mask = _np.zeros(kv_mask.shape, jax.dtypes.float0)
+    return (
+        jnp.swapaxes(dq, 1, 2).astype(q.dtype),
+        jnp.swapaxes(dk, 1, 2).astype(k.dtype),
+        jnp.swapaxes(dv, 1, 2).astype(v.dtype),
+        d_mask,
+    )
+
+
+flash_row_attention_trainable.defvjp(_trainable_fwd, _trainable_bwd)
+
+
 def reference_row_attention(q, k, v, kv_mask):
     """Pure-jnp reference for kernel parity tests. kv_mask [Lk] or [B, Lk]."""
     scale = q.shape[-1] ** -0.5

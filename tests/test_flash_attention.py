@@ -131,3 +131,105 @@ def test_vmapped_encode_decode_with_flash_matches_xla():
     ref = member_logits(model)
     out = member_logits(model_flash)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_trainable_flash_grad_matches_reference():
+    """custom-VJP flash: value AND gradients (q, k, v) match autodiff
+    through the pure-jnp reference, including masked/padded key rows."""
+    from npe_pfn_tpu.ops.flash_attention import flash_row_attention_trainable
+
+    b, h, hd, lq, lk = 2, 2, 32, 48, 160
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    q = jax.random.normal(ks[0], (b, lq, h, hd), jnp.float32)
+    k = jax.random.normal(ks[1], (b, lk, h, hd), jnp.float32)
+    v = jax.random.normal(ks[2], (b, lk, h, hd), jnp.float32)
+    cot = jax.random.normal(ks[3], (b, lq, h, hd), jnp.float32)
+    mask = jnp.arange(lk) < (lk - 13)
+
+    def loss_flash(q, k, v):
+        out = flash_row_attention_trainable(
+            q, k, v, mask, 32, 64, True  # interpret mode on CPU
+        )
+        return jnp.sum(out * cot)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_row_attention(q, k, v, mask) * cot)
+
+    val_f, grads_f = jax.value_and_grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    val_r, grads_r = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(float(val_f), float(val_r), rtol=1e-4)
+    for gf, gr, name in zip(grads_f, grads_r, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), rtol=2e-3, atol=2e-3, err_msg=name
+        )
+
+
+def test_trainable_flash_grad_per_batch_mask_and_vmap():
+    from npe_pfn_tpu.ops.flash_attention import flash_row_attention_trainable
+
+    b, h, hd, lq, lk = 3, 2, 32, 32, 96
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(ks[0], (b, lq, h, hd), jnp.float32)
+    k = jax.random.normal(ks[1], (b, lk, h, hd), jnp.float32)
+    v = jax.random.normal(ks[2], (b, lk, h, hd), jnp.float32)
+    mask2 = jnp.stack([jnp.arange(lk) < m for m in (96, 40, 7)])
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            flash_row_attention_trainable(q, k, v, mask2, 32, 32, True) ** 2
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_row_attention(q, k, v, mask2) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, bb, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=2e-3, atol=2e-3, err_msg=name
+        )
+
+
+def test_training_step_through_flash_path():
+    """End-to-end: batch_loss gradient with cfg.flash='on' (interpret) is
+    finite and close to the XLA-attention gradient — the long-context
+    pretraining path is differentiable."""
+    from npe_pfn_tpu.models import TabICAConfig, TabICAModel, transformer
+    from npe_pfn_tpu.models import bar_distribution as bar
+
+    def loss_for(cfg, model, data):
+        x_ctx, y_ctx, x_qry, y_qry, fm, cm = data
+
+        def f(params):
+            logits = transformer.forward(
+                cfg, params, x_ctx, y_ctx, x_qry, fm, cm, remat=True
+            )
+            return jnp.mean(bar.nll(model.borders, logits, y_qry))
+
+        return f
+
+    cfg_x = TabICAConfig(d_model=32, num_heads=2, num_layers=2, max_features=8,
+                         num_bars=16, dtype="float32", flash="off")
+    cfg_f = TabICAConfig(d_model=32, num_heads=2, num_layers=2, max_features=8,
+                         num_bars=16, dtype="float32", flash="on",
+                         flash_interpret=True)
+    model = TabICAModel.create(jax.random.PRNGKey(0), cfg_x)
+    ks = jax.random.split(jax.random.PRNGKey(4), 4)
+    data = (
+        jax.random.normal(ks[0], (40, 8)),
+        jax.random.normal(ks[1], (40,)),
+        jax.random.normal(ks[2], (16, 8)),
+        jax.random.normal(ks[3], (16,)),
+        jnp.ones((8,), bool),
+        jnp.arange(40) < 36,
+    )
+    from jax.flatten_util import ravel_pytree
+
+    gx = jax.grad(lambda p: loss_for(cfg_x, model, data)(p))(model.params)
+    gg = jax.grad(lambda p: loss_for(cfg_f, model, data)(p))(model.params)
+    flat_x, _ = ravel_pytree(gx)
+    flat_f, _ = ravel_pytree(gg)
+    assert np.all(np.isfinite(np.asarray(flat_f)))
+    np.testing.assert_allclose(
+        np.asarray(flat_f), np.asarray(flat_x), rtol=5e-3, atol=5e-3
+    )
