@@ -20,6 +20,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from . import preprocessing
 from .estimator import NPEPFN, _round_up
 from .models import regressor
 from .models.regressor import FittedContext, TabICAModel
@@ -27,15 +28,16 @@ from .models.regressor import FittedContext, TabICAModel
 Array = jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("target_transform",))
 def _precompute_dim_caches(
     model: TabICAModel,
     theta_ctx: Array,  # [N, dθ]
     x_ctx: Array,  # [N, dx]
     ctx_mask: Array,  # [N]
-) -> FittedContext:
-    """Encode the context once per θ-dimension; returns a FittedContext
-    whose leaves carry a leading dθ axis."""
+    target_transform: str = "zscore",
+):
+    """Encode the context once per θ-dimension; returns (FittedContext with
+    a leading dθ axis, per-dim QuantileTransforms or None)."""
     n, dth = theta_ctx.shape
     dx = x_ctx.shape[1]
     f = model.cfg.max_features
@@ -44,19 +46,31 @@ def _precompute_dim_caches(
     col = jnp.arange(f)
     feat_masks = col[None, :] < (dx + jnp.arange(dth))[:, None]  # [dθ, F]
 
-    return jax.vmap(
+    if target_transform == "quantile":
+        qts = jax.vmap(lambda y: preprocessing.quantile_fit(y, ctx_mask))(
+            theta_ctx.T
+        )
+        y_enc = jax.vmap(preprocessing.quantile_forward)(qts, theta_ctx.T)
+    else:
+        qts = None
+        y_enc = theta_ctx.T
+
+    fitted = jax.vmap(
         lambda y, fm: regressor.fit_encode(model, xc, y, fm, ctx_mask)
-    )(theta_ctx.T, feat_masks)
+    )(y_enc, feat_masks)
+    return fitted, qts
 
 
-@partial(jax.jit, static_argnames=("qry_chunk", "dx"))
+@partial(jax.jit, static_argnames=("qry_chunk", "dx", "target_transform"))
 def _cached_sample(
     model: TabICAModel,
     caches: FittedContext,  # leaves stacked over dθ
+    qts,  # per-dim QuantileTransforms (leading dθ axis) or None
     x_qry: Array,  # [Q, dx]
     rng: jax.Array,
     qry_chunk: int,
     dx: int,
+    target_transform: str = "zscore",
 ) -> Tuple[Array, Array]:
     dth = caches.stats.mu_y.shape[0]
     q = x_qry.shape[0]
@@ -73,6 +87,10 @@ def _cached_sample(
         ).reshape(q, -1)
         th_i = regressor.sample_y(key, model, fitted, logits)
         lp_i = regressor.log_prob_y(model, fitted, logits, th_i)
+        if target_transform == "quantile":
+            qt_i = jax.tree_util.tree_map(lambda a: a[i], qts)
+            th_i = preprocessing.quantile_inverse(qt_i, th_i)
+            lp_i = lp_i + preprocessing.quantile_log_det(qt_i, th_i)
         return theta_sm.at[:, i].set(th_i), lp_i
 
     keys = jax.random.split(rng, dth)
@@ -81,14 +99,16 @@ def _cached_sample(
     return theta, jnp.sum(lps, axis=0)
 
 
-@partial(jax.jit, static_argnames=("qry_chunk", "dx"))
+@partial(jax.jit, static_argnames=("qry_chunk", "dx", "target_transform"))
 def _cached_log_prob(
     model: TabICAModel,
     caches: FittedContext,
+    qts,
     x_qry: Array,
     theta_eval: Array,
     qry_chunk: int,
     dx: int,
+    target_transform: str = "zscore",
 ) -> Array:
     dth = caches.stats.mu_y.shape[0]
     q = x_qry.shape[0]
@@ -102,9 +122,14 @@ def _cached_log_prob(
         logits = jax.lax.map(
             lambda chunk: regressor.predict_logits(model, fitted, chunk), chunks
         ).reshape(q, -1)
-        lp_i = regressor.log_prob_y(
-            model, fitted, logits, jnp.take(theta_eval, i, axis=1)
-        )
+        th_i = jnp.take(theta_eval, i, axis=1)
+        if target_transform == "quantile":
+            qt_i = jax.tree_util.tree_map(lambda a: a[i], qts)
+            z_i = preprocessing.quantile_forward(qt_i, th_i)
+            lp_i = regressor.log_prob_y(model, fitted, logits, z_i)
+            lp_i = lp_i + preprocessing.quantile_log_det(qt_i, th_i)
+        else:
+            lp_i = regressor.log_prob_y(model, fitted, logits, th_i)
         return None, lp_i
 
     _, lps = jax.lax.scan(step, None, jnp.arange(dth))
@@ -125,8 +150,9 @@ class CachedPosterior:
         theta_ctx, x_ctx, ctx_mask = estimator.get_context(x, rng)
         self.dx = int(x_ctx.shape[1])
         self.dim_theta = int(theta_ctx.shape[1])
-        self.caches = _precompute_dim_caches(
-            estimator.model, theta_ctx, x_ctx, ctx_mask
+        self.caches, self.qts = _precompute_dim_caches(
+            estimator.model, theta_ctx, x_ctx, ctx_mask,
+            estimator.target_transform,
         )
 
     def sample(
@@ -140,7 +166,8 @@ class CachedPosterior:
         q = _round_up(num_samples, est.qry_chunk)
         x_qry = jnp.broadcast_to(self.x_o, (q, self.dx))
         theta, lp = _cached_sample(
-            est.model, self.caches, x_qry, rng, est.qry_chunk, self.dx
+            est.model, self.caches, self.qts, x_qry, rng, est.qry_chunk,
+            self.dx, est.target_transform,
         )
         theta, lp = theta[:num_samples], lp[:num_samples]
         return (theta, lp) if return_log_probs else theta
@@ -155,6 +182,7 @@ class CachedPosterior:
             [theta, jnp.zeros((q - n, theta.shape[1]), theta.dtype)], axis=0
         )
         lp = _cached_log_prob(
-            est.model, self.caches, x_qry, theta_pad, est.qry_chunk, self.dx
+            est.model, self.caches, self.qts, x_qry, theta_pad, est.qry_chunk,
+            self.dx, est.target_transform,
         )
         return lp[:n]

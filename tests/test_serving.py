@@ -50,3 +50,29 @@ def test_cached_posterior_matches_uncached():
         jnp.concatenate([out_theta[:8], jnp.zeros((24, 2))], axis=0), 32
     )[:8]
     np.testing.assert_allclose(np.asarray(lp_cached), np.asarray(lp_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_cached_posterior_quantile_matches_uncached():
+    """Quantile-mode serving parity vs the quantile-mode AR kernel."""
+    model = TabICAModel.create(jax.random.PRNGKey(0), CFG)
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    theta = jax.random.normal(ks[0], (200, 2))
+    x = theta @ jax.random.normal(ks[1], (3, 2)).T + 0.1 * jax.random.normal(ks[2], (200, 3))
+
+    est = npt.NPEPFN(model=model, filter_context_size=64, qry_chunk=32,
+                     target_transform="quantile")
+    est.append_simulations(theta, x)
+    x_o = x[1]
+    ctx_rng = jax.random.PRNGKey(6)
+    theta_ctx, x_ctx, ctx_mask = est.get_context(x_o, ctx_rng)
+    key = jax.random.PRNGKey(8)
+    x_qry = jnp.broadcast_to(x_o, (32, 3))
+    ref_theta, ref_lp = autoregressive_sample(
+        model, theta_ctx, x_ctx, ctx_mask, x_qry, key, 32, "quantile"
+    )
+    cp = CachedPosterior(est, x_o, rng=ctx_rng)
+    out_theta, out_lp = cp.sample(32, rng=key, return_log_probs=True)
+    np.testing.assert_allclose(np.asarray(out_theta), np.asarray(ref_theta), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_lp), np.asarray(ref_lp), rtol=2e-4, atol=2e-4)
+    lp_cached = cp.log_prob(out_theta[:8])
+    np.testing.assert_allclose(np.asarray(lp_cached), np.asarray(out_lp[:8]), rtol=2e-3, atol=2e-3)
