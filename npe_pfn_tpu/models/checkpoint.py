@@ -53,10 +53,22 @@ def load(path: str) -> TabICAModel:
 
 
 def default_checkpoint_path() -> str:
+    """Resolution order: env var > checkpoints/DEFAULT pointer file >
+    tabica_v1.npz. The pointer file lets quality evals flip the shipped
+    default (e.g. to a retrained v2) without moving artifacts."""
     env = os.environ.get("NPE_PFN_TPU_CHECKPOINT")
     if env:
         return env
-    return os.path.join(os.path.dirname(__file__), "..", "..", "checkpoints", "tabica_v1.npz")
+    ckpt_dir = os.path.join(os.path.dirname(__file__), "..", "..", "checkpoints")
+    pointer = os.path.join(ckpt_dir, "DEFAULT")
+    if os.path.exists(pointer):
+        with open(pointer) as f:
+            name = f.read().strip()
+        if name:
+            cand = os.path.join(ckpt_dir, name)
+            if os.path.exists(cand):
+                return cand
+    return os.path.join(ckpt_dir, "tabica_v1.npz")
 
 
 def load_default() -> Tuple[TabICAModel, bool]:

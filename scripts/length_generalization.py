@@ -26,9 +26,17 @@ def main():
     p.add_argument("--num_samples", type=int, default=256)
     p.add_argument("--num_obs", type=int, default=3)
     p.add_argument("--qry_chunk", type=int, default=256)
+    p.add_argument("--out", default=None,
+                   help="append JSON-line results to this file")
     args = p.parse_args()
 
     import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import numpy as np
 
     import npe_pfn_tpu as npt
@@ -54,16 +62,16 @@ def main():
             gt = task.posterior_sampler(jax.random.PRNGKey(20 + j), x[j], args.num_samples)
             c2sts.append(float(metrics.c2st(jax.random.PRNGKey(30 + j), post, gt)))
             std_ratios.append(float((post.std(0) / gt.std(0)).mean()))
-        print(
-            json.dumps(
-                {
-                    "context_size": size,
-                    "c2st": round(float(np.mean(c2sts)), 4),
-                    "std_ratio": round(float(np.mean(std_ratios)), 4),
-                }
-            ),
-            flush=True,
-        )
+        rec = {
+            "context_size": size,
+            "c2st": round(float(np.mean(c2sts)), 4),
+            "std_ratio": round(float(np.mean(std_ratios)), 4),
+            "checkpoint": os.path.normpath(checkpoint.default_checkpoint_path()),
+        }
+        print(json.dumps(rec), flush=True)
+        if args.out:
+            with open(args.out, "a") as f:
+                f.write(json.dumps(rec) + "\n")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,52 @@
+#!/bin/bash
+# End-of-round TPU evaluation queue. Waits for pretraining to release the
+# chip (one TPU process at a time), then runs every measurement serially in
+# priority order. Each script pays the ~4-min axon claim once; results are
+# written incrementally so a partial run still commits artifacts.
+#
+#   scripts/round2_tpu_queue.sh [checkpoint]   # default checkpoints/tabica_v2.npz
+set -u
+cd "$(dirname "$0")/.."
+CKPT=${1:-checkpoints/tabica_v2.npz}
+
+# Wait for the pretraining watchdog (PID recorded at launch) to finish —
+# one TPU process at a time.
+LOG=checkpoints/pretrain_stdout.log
+PIDFILE=${PRETRAIN_PIDFILE:-/tmp/pretrain.pid}
+if [ -f "$PIDFILE" ]; then
+    while kill -0 "$(cat "$PIDFILE")" 2>/dev/null; do
+        echo "[queue] pretraining still running ($(tail -1 "$LOG" 2>/dev/null | cut -c1-90))"
+        sleep 120
+    done
+fi
+sleep 30  # let the TPU claim clear
+
+export NPE_PFN_TPU_CHECKPOINT="$CKPT"
+echo "[queue] evaluating checkpoint $CKPT"
+
+# 1. Core quality + perf bundle (priority-ordered sections, incremental saves).
+timeout 7200 python scripts/tpu_eval_bundle.py
+
+# 2. Reference-scale eval grid (serial, one process).
+timeout 7200 python scripts/evaluate_tasks.py \
+    --tasks gaussian_linear two_moons slcp gaussian_mixture bernoulli_glm \
+    --num_cal 10 50 200 1000 --seeds 0 1 2 3 4 \
+    --num_test 1000 --num_posterior_samples 1024 --n_obs_eval 16 \
+    --out results
+
+# 3. Joint-metric tasks.
+timeout 3600 python scripts/evaluate_tasks.py \
+    --tasks lotka_volterra sir pendulum \
+    --num_cal 10 50 200 1000 --seeds 0 1 2 3 4 \
+    --num_test 1000 --out results
+
+# 4. Length generalization with the flash kernel at long contexts.
+timeout 3600 python scripts/length_generalization.py \
+    --sizes 512 1024 2048 4096 8192 --num_train 16384 \
+    --out results/length_generalization.jsonl
+
+# 5. Plots + comparison table.
+python scripts/plot_results.py --results results --out results/plots
+python scripts/plot_comparison.py --results results --out results/plots
+
+echo "[queue] done"
