@@ -59,11 +59,13 @@ class UnconditionalEstimator:
         qry_chunk: int = 1024,
         min_cluster_size: int = 2,
         seed: int = 0,
+        target_transform: str = "zscore",
     ):
         self.model = model if model is not None else ckpt_mod.load_default()[0]
         self.num_clusters = num_clusters
         self.context_size = context_size
         self.qry_chunk = qry_chunk
+        self.target_transform = target_transform
         self.min_cluster_size = min_cluster_size
         self._rng = jax.random.PRNGKey(seed)
         self._theta: Optional[jnp.ndarray] = None
@@ -135,7 +137,8 @@ class UnconditionalEstimator:
             q = _round_up(int(counts[c]), self.qry_chunk)
             x_qry = jax.random.normal(k_dummy, (q, 1))
             theta, _ = autoregressive_sample(
-                self.model, theta_ctx, x_ctx, mask, x_qry, k_draw, self.qry_chunk
+                self.model, theta_ctx, x_ctx, mask, x_qry, k_draw,
+                self.qry_chunk, self.target_transform,
             )
             outs.append(np.asarray(theta[: counts[c]]))
         out = np.concatenate(outs, axis=0)
@@ -167,7 +170,8 @@ class UnconditionalEstimator:
                 [theta[idx], jnp.zeros((pad, theta.shape[1]))], axis=0
             )
             lp_c = autoregressive_log_prob(
-                self.model, theta_ctx, x_ctx, mask, x_qry, theta_eval, self.qry_chunk
+                self.model, theta_ctx, x_ctx, mask, x_qry, theta_eval,
+                self.qry_chunk, self.target_transform,
             )
             lp[idx] = np.asarray(lp_c[: idx.size]) + np.log(self._weights[c])
         return jnp.asarray(lp)
