@@ -241,20 +241,24 @@ def sec_tsnpe(ctx):
 
     npt, metrics = ctx["npt"], ctx["metrics"]
     tm, x_o, gt = ctx["tm"], ctx["tm_x_o"], ctx["tm_gt"]
-    t0 = time.perf_counter()
-    est_seq = npt.run_tsnpe(
-        tm.simulator, tm.prior, x_o,
-        num_rounds=3, num_simulations=3000, rng=jax.random.PRNGKey(84),
-        filter_context_size=1024, qry_chunk=1024,
-        num_samples_to_estimate_support=2048,
-    )
-    post = est_seq.sample(1024, x_o, rng=jax.random.PRNGKey(85), max_iters=2)
-    c = float(metrics.c2st(jax.random.PRNGKey(86), post, gt))
-    OUT["tsnpe_two_moons"] = {
-        "rounds": 3, "n_sims_total": 3000, "c2st_vs_exact": round(c, 4),
-        "wall_s": round(time.perf_counter() - t0, 1),
-    }
-    print(json.dumps(OUT["tsnpe_two_moons"]), flush=True)
+    for tt in ("zscore", "quantile"):
+        t0 = time.perf_counter()
+        est_seq = npt.run_tsnpe(
+            tm.simulator, tm.prior, x_o,
+            num_rounds=3, num_simulations=3000, rng=jax.random.PRNGKey(84),
+            filter_context_size=1024, qry_chunk=1024,
+            num_samples_to_estimate_support=2048,
+            target_transform=tt,
+        )
+        post = est_seq.sample(1024, x_o, rng=jax.random.PRNGKey(85), max_iters=2)
+        c = float(metrics.c2st(jax.random.PRNGKey(86), post, gt))
+        rec = {
+            "rounds": 3, "n_sims_total": 3000, "target_transform": tt,
+            "c2st_vs_exact": round(c, 4),
+            "wall_s": round(time.perf_counter() - t0, 1),
+        }
+        OUT.setdefault("tsnpe_two_moons", []).append(rec)
+        print(json.dumps(rec), flush=True)
 
 
 def sec_flash(ctx):
