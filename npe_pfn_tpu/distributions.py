@@ -183,6 +183,32 @@ class TruncatedByBounds(Distribution):
         return self.low, self.high
 
 
+@flax.struct.dataclass
+class LogitBoxBijection:
+    """θ ↔ logit((θ − low)/(high − low)) — the reference's LogitBoxTransform
+    (evaluate_ropefm.py:405-433): box-constrained parameters are estimated in
+    unbounded logit space, where the pushforward of BoxUniform(low, high) is
+    exactly Logistic(0, 1) per dimension. Use with `Logistic` as the
+    transformed-space prior."""
+
+    low: jnp.ndarray
+    high: jnp.ndarray
+
+    def forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        u = jnp.clip((x - self.low) / (self.high - self.low), 1e-7, 1 - 1e-7)
+        return jnp.log(u) - jnp.log1p(-u)
+
+    def inverse(self, z: jnp.ndarray) -> jnp.ndarray:
+        return self.low + (self.high - self.low) * jax.nn.sigmoid(z)
+
+    def forward_log_det(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Σ log |dz/dθ|: log p_z(z) = log p_θ(θ) − forward_log_det(θ)."""
+        u = jnp.clip((x - self.low) / (self.high - self.low), 1e-7, 1 - 1e-7)
+        return jnp.sum(
+            -jnp.log(u) - jnp.log1p(-u) - jnp.log(self.high - self.low), axis=-1
+        )
+
+
 def intersect_boxes(a: BoxUniform, low, high) -> BoxUniform:
     """Box-uniform intersected with bounds — the uniform shortcut of the
     reference's pre-rejection (support_posterior.py:295-307)."""

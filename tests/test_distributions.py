@@ -69,3 +69,28 @@ def test_intersect_boxes():
     inter = D.intersect_boxes(a, jnp.array([0.0]), jnp.array([5.0]))
     np.testing.assert_array_equal(np.asarray(inter.low), [0.0])
     np.testing.assert_array_equal(np.asarray(inter.high), [2.0])
+
+
+@pytest.mark.fast
+def test_logit_box_bijection_pushforward():
+    """BoxUniform pushed through LogitBoxBijection is Logistic(0,1) — the
+    reference's transformed-space prior contract (evaluate_ropefm.py:405-433)."""
+    from npe_pfn_tpu.distributions import LogitBoxBijection, Logistic, BoxUniform
+
+    low = jnp.array([0.0, 0.5])
+    high = jnp.array([3.0, 10.0])
+    bij = LogitBoxBijection(low=low, high=high)
+    box = BoxUniform(low=low, high=high)
+    theta = box.sample(jax.random.PRNGKey(0), (2000,))
+    z = bij.forward(theta)
+    # round trip
+    np.testing.assert_allclose(np.asarray(bij.inverse(z)), np.asarray(theta),
+                               rtol=1e-5, atol=1e-5)
+    # change of variables: p_z(z) = p_theta(theta) / |dz/dtheta|
+    logi = Logistic(loc=jnp.zeros(2), scale=jnp.ones(2))
+    lhs = np.asarray(logi.log_prob(z))
+    rhs = np.asarray(box.log_prob(theta) - bij.forward_log_det(theta))
+    np.testing.assert_allclose(lhs, rhs, atol=1e-4)
+    # distributional check: empirical mean/std of z match Logistic(0,1)
+    assert abs(float(z.mean())) < 0.1
+    assert abs(float(z.std()) - 1.8138) < 0.1  # logistic sd = pi/sqrt(3)
