@@ -45,7 +45,17 @@ timeout 3600 python scripts/length_generalization.py \
     --sizes 512 1024 2048 4096 8192 --num_train 16384 \
     --out results/length_generalization.jsonl
 
-# 5. Plots + comparison table.
+# 5. Calibration (SBC) + classifier-calibration + predictive checks.
+timeout 2400 python scripts/calibration_check.py --task gaussian_linear \
+    > results/sbc_gaussian_linear.log 2>&1 || true
+timeout 2400 python scripts/calibration_check.py --task two_moons --dim 2 \
+    > results/sbc_two_moons.log 2>&1 || true
+
+# 6. Headline bench with the selected checkpoint (same number the driver
+#    records; warms the compile cache for the driver's own run).
+timeout 2400 python bench.py | tee results/bench_round2.json
+
+# 7. Plots + comparison table.
 python scripts/plot_results.py --results results --out results/plots
 python scripts/plot_comparison.py --results results --out results/plots
 
