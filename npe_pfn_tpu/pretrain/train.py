@@ -46,20 +46,42 @@ class TrainConfig:
     val_every: int = 500
     ckpt_every: int = 2000
     log_every: int = 100
+    # Warm-restart refinement: when set, the transformer trunk trains at this
+    # (lower) peak lr while the bar head trains at `lr`. A full-lr restart on
+    # a converged checkpoint measurably DEGRADES it (round-2 log: val NLL
+    # 0.097 -> 0.22+ within 7k steps at lr 1.5e-4); the upsampled head is the
+    # part that actually needs learning after a 256->1024-bar upgrade.
+    lr_trunk: Optional[float] = None
 
 
 def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
-    schedule = optax.warmup_cosine_decay_schedule(
-        init_value=0.0,
-        peak_value=tcfg.lr,
-        warmup_steps=tcfg.warmup_steps,
-        decay_steps=tcfg.max_steps,
-        end_value=tcfg.lr * 0.05,
-    )
-    return optax.chain(
-        optax.clip_by_global_norm(tcfg.grad_clip),
-        optax.adamw(schedule, b2=tcfg.b2, weight_decay=tcfg.weight_decay),
-    )
+    def sched(peak: float):
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=peak,
+            warmup_steps=tcfg.warmup_steps,
+            decay_steps=tcfg.max_steps,
+            end_value=peak * 0.05,
+        )
+
+    def adamw(peak: float):
+        return optax.adamw(sched(peak), b2=tcfg.b2, weight_decay=tcfg.weight_decay)
+
+    if tcfg.lr_trunk is None:
+        tx = adamw(tcfg.lr)
+    else:
+        def labels(params):
+            return {
+                k: jax.tree_util.tree_map(
+                    lambda _: "head" if k == "head" else "trunk", v
+                )
+                for k, v in params.items()
+            }
+
+        tx = optax.multi_transform(
+            {"head": adamw(tcfg.lr), "trunk": adamw(tcfg.lr_trunk)}, labels
+        )
+    return optax.chain(optax.clip_by_global_norm(tcfg.grad_clip), tx)
 
 
 def batch_loss(

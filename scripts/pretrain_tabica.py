@@ -26,6 +26,9 @@ def main():
     p.add_argument("--max_steps", type=int, default=200_000)
     p.add_argument("--num_datasets", type=int, default=32)
     p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--lr_trunk", type=float, default=None,
+                   help="peak lr for the transformer trunk (head uses --lr); "
+                        "use for warm-restart refinement")
     p.add_argument("--warmup_steps", type=int, default=2000)
     p.add_argument("--init_from", default=None,
                    help="warm-start params from this checkpoint (head "
@@ -58,6 +61,7 @@ def main():
     tcfg = train.TrainConfig(
         num_datasets=args.num_datasets,
         lr=args.lr,
+        lr_trunk=args.lr_trunk,
         warmup_steps=args.warmup_steps,
         max_steps=args.max_steps,
         seed=args.seed,

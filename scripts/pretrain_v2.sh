@@ -11,18 +11,22 @@ set -u
 cd "$(dirname "$0")/.."
 # ckpt_every 500: the remote TPU stream can stall mid-run (watchdog restarts
 # it); frequent checkpoints bound the lost work to ~4 minutes.
+# lr: partitioned warm-restart — the upsampled 1024-bar head trains at full
+# lr, the converged trunk at 2e-5. A uniform 1.5e-4 restart DEGRADED the
+# trunk (val NLL 0.097 @ step 500 -> 0.22+ by 7k; train_log_v2.jsonl).
 TOTAL_SECS=${TOTAL_SECS:-25200} STALL_SECS=${STALL_SECS:-420} exec scripts/pretrain_watchdog.sh \
     --ckpt_every 500 \
     --ckpt checkpoints/tabica_v2.npz \
     --log checkpoints/train_log_v2.jsonl \
     --init_from checkpoints/tabica_v1.npz \
-    --max_steps 55000 \
+    --max_steps 45000 \
     --num_datasets 8 \
     --num_bars 1024 \
     --num_ctx 768 \
     --d_model 128 \
     --num_layers 6 \
     --lr 1.5e-4 \
-    --warmup_steps 1000 \
+    --lr_trunk 2e-5 \
+    --warmup_steps 500 \
     --p_heteroscedastic 0.3 --p_heavy_tail 0.2 --p_categorical_feats 0.2 \
     "$@"
