@@ -47,3 +47,37 @@ def test_upsampled_head_density_matches_interior():
     p1 = jax.nn.softmax(logits1, axis=-1)
     p2 = jax.nn.softmax(logits2, axis=-1).reshape(logits1.shape[0], -1, r).sum(-1)
     assert jnp.max(jnp.abs(p1 - p2)) < 1e-5
+
+
+def test_partitioned_lr_optimizer():
+    """lr_trunk: head updates are much larger than trunk updates, so a
+    warm-restarted run refines the upsampled bar head without destroying the
+    converged trunk (round-2 regression; see TrainConfig.lr_trunk)."""
+    import numpy as np
+    from npe_pfn_tpu.models.config import TabICAConfig
+    from npe_pfn_tpu.models.regressor import TabICAModel
+    from npe_pfn_tpu.pretrain import prior, train
+
+    cfg = TabICAConfig(d_model=32, num_heads=2, num_layers=2, max_features=8,
+                       num_bars=32, dtype="float32")
+    tcfg = train.TrainConfig(num_datasets=2, warmup_steps=2, max_steps=10,
+                             lr=1e-3, lr_trunk=1e-5)
+    pcfg = prior.PriorConfig(num_features=8, num_ctx=32, num_qry=16,
+                             max_active_features=6, hidden=16)
+    model = TabICAModel.create(jax.random.PRNGKey(0), cfg)
+    opt = train.make_optimizer(tcfg)
+    opt_state = opt.init(model.params)
+    params = model.params
+
+    def flat(tree):
+        return np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(tree)])
+
+    p0 = {k: flat(v) for k, v in params.items()}
+    for i in range(3):
+        params, opt_state, loss, _ = train.train_step(
+            cfg, tcfg, pcfg, params, opt_state, model.borders, jax.random.PRNGKey(i)
+        )
+    assert np.isfinite(float(loss))
+    d_head = np.abs(flat(params["head"]) - p0["head"]).mean()
+    d_trunk = np.abs(flat(params["blocks"]) - p0["blocks"]).mean()
+    assert d_head > 10 * d_trunk, (d_head, d_trunk)
