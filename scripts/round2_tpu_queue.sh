@@ -34,6 +34,15 @@ timeout 7200 python scripts/evaluate_tasks.py \
     --num_test 1000 --num_posterior_samples 1024 --n_obs_eval 16 \
     --out results
 
+# 2b. Quantile-transform variant on the multimodal tasks (zscore-vs-quantile
+#     at grid scale; separate output dir keeps the files distinct).
+timeout 3600 python scripts/evaluate_tasks.py \
+    --tasks two_moons slcp \
+    --num_cal 200 1000 --seeds 0 1 2 \
+    --num_test 1000 --num_posterior_samples 1024 --n_obs_eval 16 \
+    --target_transform quantile \
+    --out results/quantile
+
 # 3. Joint-metric tasks.
 timeout 3600 python scripts/evaluate_tasks.py \
     --tasks lotka_volterra sir pendulum \
