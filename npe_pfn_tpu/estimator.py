@@ -862,6 +862,10 @@ class NPEPFN:
         if mode == "autoregressive":
             ctx_rng, rng = jax.random.split(rng)
             theta_ctx, x_ctx, ctx_mask = self.get_context(x, ctx_rng)
+            if self.num_ensembles > 1:
+                tc, xc, cm = split_context_ensemble(
+                    theta_ctx, x_ctx, ctx_mask, self.num_ensembles
+                )
             n = theta.shape[0]
             cap = _round_up(max_sampling_batch_size, self.qry_chunk)
             out = []
@@ -874,9 +878,6 @@ class NPEPFN:
                     [chunk, jnp.zeros((q - nc, chunk.shape[1]), chunk.dtype)], axis=0
                 )
                 if self.num_ensembles > 1:
-                    tc, xc, cm = split_context_ensemble(
-                        theta_ctx, x_ctx, ctx_mask, self.num_ensembles
-                    )
                     lp = autoregressive_log_prob_ensemble(
                         self.model, tc, xc, cm, x_qry, theta_pad, self.qry_chunk,
                         self.target_transform,

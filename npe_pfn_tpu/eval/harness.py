@@ -61,6 +61,12 @@ def evaluate_task(
         f_budget = model.cfg.max_features if model is not None else 32
         if task.dim_x + task.dim_theta > f_budget:
             dout = min(f_budget - task.dim_theta, 24)
+            if dout < 1:
+                raise ValueError(
+                    f"task {task.name!r}: dim_theta={task.dim_theta} leaves no "
+                    f"room for x features in the model budget ({f_budget}); "
+                    "use a model with larger max_features"
+                )
             estimator_kwargs["embedding_net"] = RandomProjectionEmbedding(
                 task.dim_x, dout, seed=0
             )

@@ -101,6 +101,7 @@ def sharded_autoregressive_sample(
     rng,
     qry_chunk: int = 1024,
     axis: str = "data",
+    target_transform: str = "zscore",
 ):
     """Posterior sampling with the query-row axis sharded over the mesh.
 
@@ -125,7 +126,7 @@ def sharded_autoregressive_sample(
 
     fn = jax.jit(
         lambda m, tc, xc, cm, xq, k: autoregressive_sample(
-            m, tc, xc, cm, xq, k, min(qry_chunk, q // n_dev)
+            m, tc, xc, cm, xq, k, min(qry_chunk, q // n_dev), target_transform
         ),
         out_shardings=(row_sharded, row_sharded),
     )

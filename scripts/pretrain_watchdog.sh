@@ -7,6 +7,9 @@ cd "$(dirname "$0")/.."
 LOG=checkpoints/pretrain_stdout.log
 STALL_SECS=${STALL_SECS:-600}
 DEADLINE=$(( $(date +%s) + ${TOTAL_SECS:-9000} ))
+# Record our PID so round2_tpu_queue.sh (and humans) can wait for the chip
+# without process-pattern matching.
+echo $$ > "${PRETRAIN_PIDFILE:-/tmp/pretrain.pid}"
 
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
     python scripts/pretrain_tabica.py "$@" >> "$LOG" 2>&1 &

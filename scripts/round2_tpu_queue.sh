@@ -59,6 +59,10 @@ timeout 2400 python scripts/calibration_check.py --task gaussian_linear \
     > results/sbc_gaussian_linear.log 2>&1 || true
 timeout 2400 python scripts/calibration_check.py --task two_moons --dim 2 \
     > results/sbc_two_moons.log 2>&1 || true
+timeout 2400 python scripts/classifier_calibration_audit.py \
+    > results/classifier_calibration.log 2>&1 || true
+timeout 2400 python scripts/predictive_check.py \
+    > results/predictive_check.log 2>&1 || true
 
 # 6. Headline bench with the selected checkpoint (same number the driver
 #    records; warms the compile cache for the driver's own run).
