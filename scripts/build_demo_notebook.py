@@ -53,7 +53,32 @@ print(f"C2ST vs exact posterior: {c:.3f}  (0.5 = indistinguishable)")"""),
     ("code", """\
 lp = est.log_prob(post[:64], x_o, mode="autoregressive")
 print("autoregressive log q(θ|x):", float(lp.mean()))"""),
-    ("markdown", "## 5. Sequential truncated inference (TSNPE-PFN)"),
+    ("markdown", """\
+## 5. Quantile target transform (TabPFN-style preprocessing variant)
+
+`target_transform="quantile"` maps each θ-dimension's context values to
+normal scores before discretization — adaptive bar resolution for thin
+posterior structure, with exact Jacobians on log-probs."""),
+    ("code", """\
+est_q = npt.NPEPFN(prior=task.prior, filter_context_size=256, qry_chunk=256,
+                   target_transform="quantile")
+est_q.append_simulations(theta, x)
+post_q = est_q.sample(512, x_o, rng=jax.random.PRNGKey(6))
+c_q = float(metrics.c2st(jax.random.PRNGKey(3), post_q, gt))
+print(f"C2ST (quantile transform): {c_q:.3f}  vs zscore: {c:.3f}")"""),
+    ("markdown", """\
+## 6. Task registry: 9 simulators, 5 with ground-truth posteriors"""),
+    ("code", """\
+print(npt.tasks.list_tasks())
+gm = npt.tasks.get_task("gaussian_mixture")
+th_gm, x_gm = gm.simulate(jax.random.PRNGKey(7), 2000)
+est_gm = npt.NPEPFN(prior=gm.prior, filter_context_size=256, qry_chunk=256)
+est_gm.append_simulations(th_gm, x_gm)
+post_gm = est_gm.sample(256, x_gm[0], rng=jax.random.PRNGKey(8))
+gt_gm = gm.posterior_sampler(jax.random.PRNGKey(9), x_gm[0], 256)
+print("gaussian_mixture C2ST:",
+      round(float(metrics.c2st(jax.random.PRNGKey(10), post_gm, gt_gm)), 3))"""),
+    ("markdown", "## 7. Sequential truncated inference (TSNPE-PFN)"),
     ("code", """\
 est_seq = npt.run_tsnpe(task.simulator, task.prior, x_o,
                         num_rounds=2, num_simulations=1000,

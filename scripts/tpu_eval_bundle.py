@@ -272,21 +272,28 @@ def sec_flash(ctx):
         )
 
         b, h, hd = 33, 4, 32
-        for lk in (8192,):
+        # Correctness at 8192 + block-size tuning table at 4k/8k/16k.
+        for lk in (4096, 8192, 16384):
             ks = jax.random.split(jax.random.PRNGKey(8), 3)
             q = jax.random.normal(ks[0], (b, 1024, h, hd), jnp.bfloat16)
             k = jax.random.normal(ks[1], (b, lk, h, hd), jnp.bfloat16)
             v = jax.random.normal(ks[2], (b, lk, h, hd), jnp.bfloat16)
             mask = jnp.arange(lk) < (lk - 100)
-            out, t1 = timed(flash_row_attention, q, k, v, mask)
-            out2, t2 = timed(flash_row_attention, q, k, v, mask)
-            ref = reference_row_attention(
-                q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32), mask
-            )
-            err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref)))
-            rec = {"lk": lk, "steady_ms": round(t2 * 1e3, 2), "max_err": err}
-            OUT.setdefault("flash", []).append(rec)
-            print(json.dumps(rec), flush=True)
+            for bq, bk in ((256, 512), (256, 1024), (512, 512), (128, 2048)):
+                _, t1 = timed(flash_row_attention, q, k, v, mask, bq, bk)
+                out2, t2 = timed(flash_row_attention, q, k, v, mask, bq, bk)
+                rec = {"lk": lk, "block_q": bq, "block_k": bk,
+                       "steady_ms": round(t2 * 1e3, 2)}
+                if lk == 8192 and (bq, bk) == (256, 512):
+                    ref = reference_row_attention(
+                        q.astype(jnp.float32), k.astype(jnp.float32),
+                        v.astype(jnp.float32), mask,
+                    )
+                    rec["max_err"] = float(
+                        jnp.max(jnp.abs(out2.astype(jnp.float32) - ref))
+                    )
+                OUT.setdefault("flash", []).append(rec)
+                print(json.dumps(rec), flush=True)
     except Exception as e:
         OUT["flash_error"] = f"{type(e).__name__}: {str(e)[:300]}"
         print("flash FAILED:", OUT["flash_error"], flush=True)
