@@ -28,6 +28,11 @@ def main():
 
     import jax
 
+    _cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache")
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     if args.small:
         jax.config.update("jax_platforms", "cpu")
 
