@@ -164,8 +164,8 @@ def train(
     copied, bar head upsampled if num_bars differs — see warmstart.py). Only
     used when no resume state exists for ``ckpt_path`` itself.
     """
-    rng = jax.random.PRNGKey(tcfg.seed)
-    model = TabICAModel.create(rng, cfg)
+    base_rng = jax.random.PRNGKey(tcfg.seed)
+    model = TabICAModel.create(base_rng, cfg)
     params = model.params
     state_path = ckpt_path + ".train_state.npz"
     if init_from and not (resume and os.path.exists(state_path)):
@@ -184,6 +184,13 @@ def train(
         opt_state = pytree_io.restore_like(opt_state, state_path)
         print(f"[pretrain] resumed at step {step}")
 
+    best_path = ckpt_path.replace(".npz", "_best.npz")
+    best_meta = best_path + ".meta.npz"
+    best_val = float("inf")
+    if os.path.exists(best_meta):
+        best_val = float(pytree_io.load_pytree(best_meta)["val"])
+        print(f"[pretrain] best-so-far val NLL {best_val:.4f}")
+
     log_f = open(log_path, "a") if log_path else None
     val_rng = jax.random.PRNGKey(10_000)
     t_start = time.time()
@@ -191,7 +198,10 @@ def train(
     loss_acc, n_acc = 0.0, 0
 
     while step < tcfg.max_steps:
-        rng, step_rng = jax.random.split(rng)
+        # Per-step rng derived from the step index, not a sequential split
+        # chain: a watchdog restart resuming at step k continues the task
+        # stream at position k instead of replaying tasks 1..k.
+        step_rng = jax.random.fold_in(base_rng, step)
         params, opt_state, loss, gnorm = train_step(
             cfg, tcfg, pcfg, params, opt_state, model.borders, step_rng
         )
@@ -229,6 +239,26 @@ def train(
             if log_f:
                 log_f.write(json.dumps(rec) + "\n")
                 log_f.flush()
+            if val < best_val:
+                # Ship-artifact safety net: training excursions (or a stall
+                # landing on a bad step) can leave the rolling checkpoint
+                # worse than an earlier one; the best-val params are kept
+                # separately so evals always have the strongest candidate.
+                best_val = val
+                from ..models import checkpoint as ckpt_mod
+
+                ckpt_mod.save(
+                    best_path,
+                    TabICAModel(cfg=cfg, params=params, borders=model.borders),
+                )
+                pytree_io.save_pytree(
+                    best_meta,
+                    {"step": jnp.array(step), "val": jnp.array(val)},
+                )
+                print(
+                    f"[pretrain] new best val NLL {val:.4f} -> {best_path}",
+                    flush=True,
+                )
 
         if step % tcfg.ckpt_every == 0 or step == tcfg.max_steps:
             _save_all(ckpt_path, cfg, params, opt_state, step)

@@ -7,7 +7,15 @@
 #   scripts/round2_tpu_queue.sh [checkpoint]   # default checkpoints/tabica_v2.npz
 set -u
 cd "$(dirname "$0")/.."
-CKPT=${1:-checkpoints/tabica_v2.npz}
+# Prefer the best-val checkpoint over the rolling one when no explicit
+# argument is given — a stall can leave the rolling checkpoint on a bad step.
+if [ $# -ge 1 ]; then
+    CKPT=$1
+elif [ -f checkpoints/tabica_v2_best.npz ]; then
+    CKPT=checkpoints/tabica_v2_best.npz
+else
+    CKPT=checkpoints/tabica_v2.npz
+fi
 
 # Wait for the pretraining watchdog (PID recorded at launch) to finish —
 # one TPU process at a time.
