@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Checkpoint quality gate: compare TPU-bundle results across checkpoints and
+point checkpoints/DEFAULT at the winner.
+
+The reference's acceptance gate is C2ST parity (BASELINE.md); the composite
+score is the mean distance from the ideal 0.5 across the bundle's
+ground-truth-gated cells (gaussian-linear quality, two-moons best config,
+SLCP best config) — lower is better. Ties/missing metrics fall back to the
+incumbent (first candidate).
+
+Usage:
+    python scripts/select_checkpoint.py \
+        results/tpu_eval_v1.json=tabica_v1.npz \
+        results/tpu_eval_v2.json=tabica_v2_best.npz
+"""
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def score(bundle: dict):
+    """(composite, parts) — mean |C2ST - 0.5| over available quality cells."""
+    parts = {}
+    q = [r["c2st"] for r in bundle.get("quality_vs_context", [])
+         if r.get("target_transform", "zscore") == "zscore"]
+    if q:
+        parts["gaussian_linear"] = sum(q) / len(q)
+    tm = [r["c2st_vs_exact"] for r in bundle.get("two_moons", [])]
+    if tm:
+        parts["two_moons"] = min(tm)
+    sl = [r["c2st_vs_mcmc"] for r in bundle.get("slcp", [])]
+    if sl:
+        parts["slcp"] = min(sl)
+    return parts
+
+
+def main():
+    cands = []
+    for arg in sys.argv[1:]:
+        path, name = arg.split("=", 1)
+        with open(path) as f:
+            bundle = json.load(f)
+        cands.append({"results": path, "checkpoint": name,
+                      "parts": score(bundle)})
+
+    # Composite over the INTERSECTION of available cells only: a candidate
+    # whose bundle partially failed must not win by scoring on the easy
+    # cells alone.
+    common = set.intersection(*(set(c["parts"]) for c in cands)) if cands else set()
+    for c in cands:
+        c["score"] = (
+            sum(abs(c["parts"][k] - 0.5) for k in common) / len(common)
+            if len(common) >= 2 else None
+        )
+        print(json.dumps(c))
+    scored = [c for c in cands if c["score"] is not None]
+    if not scored:
+        print("fewer than 2 comparable cells; DEFAULT unchanged")
+        return
+    # stable min: first candidate wins ties (incumbent bias)
+    winner = min(scored, key=lambda c: c["score"])
+    pointer = os.path.join(REPO, "checkpoints", "DEFAULT")
+    with open(pointer, "w") as f:
+        f.write(winner["checkpoint"] + "\n")
+    print(f"DEFAULT -> {winner['checkpoint']} "
+          f"(composite |C2ST-0.5| = {winner['score']:.4f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -18,7 +18,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 OUT = {}
-RESULTS_PATH = "results/tpu_eval.json"
+RESULTS_PATH = "results/tpu_eval.json"  # override with --out=PATH
 
 
 def save():
@@ -314,6 +314,7 @@ SECTIONS = [
 
 
 def main():
+    global RESULTS_PATH
     import jax
 
     cache_dir = os.path.join(
@@ -335,14 +336,24 @@ def main():
     OUT["trained"] = trained
     OUT["checkpoint"] = os.path.normpath(checkpoint.default_checkpoint_path())
     OUT["checkpoint_step"] = None
-    meta = checkpoint.default_checkpoint_path() + ".train_state.npz.meta.npz"
-    if os.path.exists(meta):
-        import numpy as _np
+    ckpt_path = checkpoint.default_checkpoint_path()
+    # train-state meta for rolling checkpoints, plain .meta.npz for the
+    # best-val artifact (carries step + val).
+    for meta in (ckpt_path + ".train_state.npz.meta.npz", ckpt_path + ".meta.npz"):
+        if os.path.exists(meta):
+            import numpy as _np
 
-        OUT["checkpoint_step"] = int(_np.load(meta)["step"])
+            OUT["checkpoint_step"] = int(_np.load(meta)["step"])
+            break
 
     ctx = {"npt": npt, "metrics": metrics, "jnp": jnp, "np": np}
-    wanted = sys.argv[1:] or [name for name, _ in SECTIONS]
+    args = []
+    for a in sys.argv[1:]:
+        if a.startswith("--out="):
+            RESULTS_PATH = a.split("=", 1)[1]
+        else:
+            args.append(a)
+    wanted = args or [name for name, _ in SECTIONS]
     for name, fn in SECTIONS:
         if name not in wanted:
             continue
