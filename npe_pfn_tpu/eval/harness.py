@@ -79,6 +79,9 @@ def evaluate_task(
         rng = jax.random.PRNGKey(seed)
         k_cal, k_test, k_post, k_metric, k_gt = jax.random.split(rng, 5)
         theta_test, x_test = task.simulate(k_test, num_test)
+        # Ground-truth posteriors depend on (seed, obs) only — cache across
+        # the num_cal grid (the SLCP MCMC sampler is the expensive one).
+        gt_cache: Dict = {}
 
         for num_cal in num_cal_grid:
             key = _cell_key(num_cal, seed)
@@ -100,9 +103,12 @@ def evaluate_task(
                 for j in range(n_obs):
                     kj = jax.random.fold_in(k_post, j)
                     post = est.sample(num_posterior_samples, x_test[j], rng=kj)
-                    gt = task.posterior_sampler(
-                        jax.random.fold_in(k_gt, j), x_test[j], num_posterior_samples
-                    )
+                    if j not in gt_cache:
+                        gt_cache[j] = task.posterior_sampler(
+                            jax.random.fold_in(k_gt, j), x_test[j],
+                            num_posterior_samples,
+                        )
+                    gt = gt_cache[j]
                     c2sts.append(float(M.c2st(jax.random.fold_in(k_metric, j), post, gt)))
                     w2s.append(float(M.sinkhorn_w2(post, gt)))
                     mmds.append(float(M.mmd(post, gt)))
