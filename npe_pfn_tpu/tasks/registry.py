@@ -16,7 +16,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from ..distributions import BoxUniform, Distribution, Normal
+from ..distributions import BoxUniform, Distribution, MultivariateNormal, Normal
 
 
 @dataclasses.dataclass
@@ -459,6 +459,73 @@ def bernoulli_glm(dim: int = 10) -> Task:
     )
 
 
+# --------------------------------------------------------------------------
+# High-dim Gaussian — the reference's `high_dim_gaussian` eval task: a
+# two-stage linear-Gaussian process θ → likelihood → noisy observation with
+# an analytic MVN posterior (evaluate_ropefm.py:435-446 prior,
+# :505-585 ground-truth posterior; parameters are fixed draws from a seeded
+# generator, reproduced here with a fixed JAX PRNG key — same semantics,
+# not bitwise-identical parameter values).
+# --------------------------------------------------------------------------
+
+
+def _hdg_params(
+    theta_dim: int,
+    obs_dim: int,
+    prior_var_scale: float = 5.0,
+    likelihood_var_scale: float = 2.0,
+    noisy_var_scale: float = 5.0,
+):
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+    prior_loc = jax.random.uniform(ks[0], (theta_dim,)) * 10.0 - 5.0
+    s_theta = prior_var_scale * jax.random.normal(ks[1], (theta_dim, theta_dim))
+    prior_cov = s_theta @ s_theta.T + jnp.eye(theta_dim)
+    a_mat = jax.random.normal(ks[2], (obs_dim, theta_dim))
+    b_vec = jax.random.normal(ks[3], (obs_dim,))
+    s_lik = likelihood_var_scale * jax.random.normal(ks[4], (obs_dim, obs_dim))
+    lik_cov = s_lik @ s_lik.T + 1e-3 * jnp.eye(obs_dim)
+    c_mat = 1.0 + jax.random.normal(ks[5], (obs_dim, obs_dim))
+    d_vec = jax.random.uniform(ks[6], (obs_dim,)) * 5.0 + 5.0
+    s_noise = noisy_var_scale * jax.random.normal(ks[7], (obs_dim, obs_dim))
+    noise_cov = s_noise @ s_noise.T + 1e-3 * jnp.eye(obs_dim)
+    return prior_loc, prior_cov, a_mat, b_vec, lik_cov, c_mat, d_vec, noise_cov
+
+
+def high_dim_gaussian(theta_dim: int = 3, obs_dim: int = 3) -> Task:
+    (prior_loc, prior_cov, a_mat, b_vec, lik_cov, c_mat, d_vec,
+     noise_cov) = _hdg_params(theta_dim, obs_dim)
+    prior = MultivariateNormal(prior_loc, prior_cov)
+    chol_lik = jnp.linalg.cholesky(lik_cov)
+    chol_noise = jnp.linalg.cholesky(noise_cov)
+
+    def sim(rng, theta):
+        k1, k2 = jax.random.split(rng)
+        x_lik = a_mat @ theta + b_vec + chol_lik @ jax.random.normal(k1, (obs_dim,))
+        return c_mat @ x_lik + d_vec + chol_noise @ jax.random.normal(k2, (obs_dim,))
+
+    # Collapse the two stages: y = Fθ + c + ε with ε ~ N(0, Σ_y), so the
+    # posterior is the standard linear-Gaussian conjugate update
+    # (evaluate_ropefm.py:544-585).
+    f_mat = c_mat @ a_mat
+    c_vec = c_mat @ b_vec + d_vec
+    sigma_y = c_mat @ lik_cov @ c_mat.T + noise_cov
+    sigma_y_inv = jnp.linalg.inv(sigma_y)
+    prior_cov_inv = jnp.linalg.inv(prior_cov)
+    post_cov = jnp.linalg.inv(prior_cov_inv + f_mat.T @ sigma_y_inv @ f_mat)
+    post_chol = jnp.linalg.cholesky(
+        0.5 * (post_cov + post_cov.T) + 1e-9 * jnp.eye(theta_dim)
+    )
+
+    def posterior_sampler(rng, x_o, n):
+        mean = post_cov @ (
+            prior_cov_inv @ prior_loc + f_mat.T @ (sigma_y_inv @ (x_o - c_vec))
+        )
+        eps = jax.random.normal(rng, (n, theta_dim))
+        return mean + eps @ post_chol.T
+
+    return Task("high_dim_gaussian", prior, sim, theta_dim, obs_dim, posterior_sampler)
+
+
 _TASKS = {
     "two_moons": two_moons,
     "gaussian_linear": gaussian_linear,
@@ -469,6 +536,7 @@ _TASKS = {
     "gaussian_bump_image": gaussian_bump_image,
     "gaussian_mixture": gaussian_mixture,
     "bernoulli_glm": bernoulli_glm,
+    "high_dim_gaussian": high_dim_gaussian,
 }
 
 

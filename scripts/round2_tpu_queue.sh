@@ -66,7 +66,7 @@ commit_results "Round-2 headline bench on selected checkpoint"
 
 # 3. Reference-scale eval grid (serial, one process).
 timeout 5400 python scripts/evaluate_tasks.py \
-    --tasks gaussian_linear two_moons slcp gaussian_mixture bernoulli_glm \
+    --tasks gaussian_linear two_moons slcp gaussian_mixture bernoulli_glm high_dim_gaussian \
     --num_cal 10 50 200 1000 --seeds 0 1 2 3 4 \
     --num_test 1000 --num_posterior_samples 1024 --n_obs_eval 16 \
     --out results

@@ -169,6 +169,30 @@ def test_bernoulli_glm_ground_truth():
     assert float(post.std(0).mean()) < 2.0  # tighter than the prior scale
 
 
+def test_high_dim_gaussian_ground_truth():
+    """Exact-calibration check of the analytic posterior: for joint draws
+    (θ*, y*) ~ p(θ)p(y|θ), whitening θ* by the analytic posterior's moments
+    at y* must give standard-normal z-scores (the posterior is exactly
+    Gaussian, so this is an exact identity up to Monte-Carlo error)."""
+    task = npt.tasks.get_task("high_dim_gaussian")
+    n_joint = 256
+    theta_j, y_j = task.simulate(jax.random.PRNGKey(20), n_joint)
+    # Posterior covariance is y-independent for a linear-Gaussian model —
+    # estimate it once from one sampler call, means per observation.
+    samp0 = task.posterior_sampler(jax.random.PRNGKey(21), y_j[0], 8000)
+    cov = np.cov(np.asarray(samp0), rowvar=False)
+    chol_inv = np.linalg.inv(np.linalg.cholesky(cov))
+    means = []
+    for j in range(n_joint):
+        s = task.posterior_sampler(
+            jax.random.fold_in(jax.random.PRNGKey(22), j), y_j[j], 512
+        )
+        means.append(np.asarray(s.mean(0)))
+    z = (np.asarray(theta_j) - np.stack(means)) @ chol_inv.T
+    assert np.abs(z.mean(0)).max() < 0.25, z.mean(0)
+    assert np.abs(z.std(0) - 1.0).max() < 0.25, z.std(0)
+
+
 def test_prior_v2_enrichment():
     """v2 prior knobs produce finite tasks and default to v1 behavior."""
     from npe_pfn_tpu.pretrain import prior
