@@ -460,6 +460,37 @@ def bernoulli_glm(dim: int = 10) -> Task:
 
 
 # --------------------------------------------------------------------------
+# Gaussian Linear Uniform (sbibm): box prior, Gaussian likelihood — the
+# exact posterior is a per-dimension truncated normal, sampled by inverse
+# CDF. Complements gaussian_linear with a bounded-support analytic task
+# (exercises the prior-support rejection path with a known ground truth).
+# --------------------------------------------------------------------------
+
+
+def gaussian_linear_uniform(dim: int = 10, noise_scale: float = 0.316227766) -> Task:
+    prior = BoxUniform(low=-jnp.ones(dim), high=jnp.ones(dim))
+
+    def sim(rng, theta):
+        return theta + noise_scale * jax.random.normal(rng, theta.shape)
+
+    def posterior_sampler(rng, x_o, n):
+        # Per-dim truncated N(x_i, σ²) on [-1, 1]: inverse-CDF sampling.
+        from jax.scipy.special import ndtri
+        from jax.scipy.stats.norm import cdf as ncdf
+
+        lo = ncdf((-1.0 - x_o) / noise_scale)
+        hi = ncdf((1.0 - x_o) / noise_scale)
+        u = jax.random.uniform(rng, (n, dim), minval=lo, maxval=hi)
+        # Clamp away from {0,1} so ndtri stays finite for extreme x_o.
+        u = jnp.clip(u, 1e-7, 1.0 - 1e-7)
+        return jnp.clip(x_o + noise_scale * ndtri(u), -1.0, 1.0)
+
+    return Task(
+        f"gaussian_linear_uniform_{dim}d", prior, sim, dim, dim, posterior_sampler
+    )
+
+
+# --------------------------------------------------------------------------
 # High-dim Gaussian — the reference's `high_dim_gaussian` eval task: a
 # two-stage linear-Gaussian process θ → likelihood → noisy observation with
 # an analytic MVN posterior (evaluate_ropefm.py:435-446 prior,
@@ -537,6 +568,7 @@ _TASKS = {
     "gaussian_mixture": gaussian_mixture,
     "bernoulli_glm": bernoulli_glm,
     "high_dim_gaussian": high_dim_gaussian,
+    "gaussian_linear_uniform": gaussian_linear_uniform,
 }
 
 

@@ -193,6 +193,24 @@ def test_high_dim_gaussian_ground_truth():
     assert np.abs(z.std(0) - 1.0).max() < 0.25, z.std(0)
 
 
+def test_gaussian_linear_uniform_ground_truth():
+    """Inverse-CDF sampler matches the analytic truncated-normal moments
+    per dimension and respects the box support."""
+    from scipy.stats import truncnorm
+
+    task = npt.tasks.get_task("gaussian_linear_uniform")
+    x_o = jnp.linspace(-1.5, 1.5, 10)  # includes near-edge observations
+    post = np.asarray(task.posterior_sampler(jax.random.PRNGKey(30), x_o, 20000))
+    assert post.shape == (20000, 10)
+    assert post.min() >= -1.0 and post.max() <= 1.0
+    sigma = 0.316227766
+    for i, xi in enumerate(np.asarray(x_o)):
+        a, b = (-1.0 - xi) / sigma, (1.0 - xi) / sigma
+        ref = truncnorm(a, b, loc=xi, scale=sigma)
+        assert abs(post[:, i].mean() - ref.mean()) < 0.02, i
+        assert abs(post[:, i].std() - ref.std()) < 0.02, i
+
+
 def test_prior_v2_enrichment():
     """v2 prior knobs produce finite tasks and default to v1 behavior."""
     from npe_pfn_tpu.pretrain import prior
