@@ -322,6 +322,42 @@ def pendulum() -> Task:
 
 
 # --------------------------------------------------------------------------
+# Wind tunnel analog (1D θ -> 16D x): the reference's wind_tunnel task
+# infers the angle of attack α ∈ [0°, 45°] from pressure measurements
+# (evaluate_ropefm.py:448-460; the measurement data artifacts are not in the
+# reference repo, so this analog replaces them with a synthetic airfoil
+# pressure-tap simulator: thin-airfoil lift with a smooth stall transition
+# around 20°, chordwise suction profile, heteroscedastic sensor noise).
+# Joint-metric evaluation (no tractable posterior), like pendulum.
+# --------------------------------------------------------------------------
+
+
+def _wind_tunnel_sim(rng, theta, num_taps=16, noise=0.05):
+    alpha = theta[0] * jnp.pi / 180.0
+    s = jnp.linspace(0.05, 0.95, num_taps)  # chordwise tap positions
+    # Lift coefficient: thin-airfoil slope pre-stall, flat-plate post-stall,
+    # blended smoothly at ~20 degrees.
+    stall = jax.nn.sigmoid((theta[0] - 20.0) / 2.5)
+    cl = (1.0 - stall) * 2.0 * jnp.pi * jnp.sin(alpha) * jnp.cos(alpha) \
+        + stall * 1.1 * jnp.sin(2.0 * alpha)
+    # Suction-side pressure-coefficient distribution: leading-edge peak
+    # decaying toward the trailing edge, scaled by lift; stall flattens it.
+    g = jnp.sqrt(jnp.maximum(1.0 - s, 0.0) / (s + 0.05))
+    g = g / g.sum() * num_taps / 4.0
+    # Separated flow adds a near-uniform base suction over the aft taps —
+    # this keeps pre- and post-stall angles with equal lift distinguishable.
+    cp = -cl * g * (1.0 - 0.5 * stall) - 0.2 * (1.0 - s) - 0.45 * stall * s
+    # Sensor noise grows in the separated (stalled) regime.
+    sigma = noise * (1.0 + 2.0 * stall)
+    return cp + sigma * jax.random.normal(rng, cp.shape)
+
+
+def wind_tunnel() -> Task:
+    prior = BoxUniform(low=jnp.array([0.0]), high=jnp.array([45.0]))
+    return Task("wind_tunnel", prior, _wind_tunnel_sim, 1, 16)
+
+
+# --------------------------------------------------------------------------
 # Gaussian bump image task (3D θ -> 1024-D image): high-dimensional
 # observation exercising the embedding-net path, like the reference's
 # light_tunnel image task (12288-D, RandomProjection to 128;
@@ -569,6 +605,7 @@ _TASKS = {
     "bernoulli_glm": bernoulli_glm,
     "high_dim_gaussian": high_dim_gaussian,
     "gaussian_linear_uniform": gaussian_linear_uniform,
+    "wind_tunnel": wind_tunnel,
 }
 
 

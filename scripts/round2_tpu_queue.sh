@@ -84,7 +84,7 @@ commit_results "Quantile-transform grid variant"
 
 # 4. Joint-metric tasks.
 timeout 2700 python scripts/evaluate_tasks.py \
-    --tasks lotka_volterra sir pendulum \
+    --tasks lotka_volterra sir pendulum wind_tunnel \
     --num_cal 10 50 200 1000 --seeds 0 1 2 3 4 \
     --num_test 1000 --out results
 commit_results "Joint-metric task grid"

@@ -211,6 +211,21 @@ def test_gaussian_linear_uniform_ground_truth():
         assert abs(post[:, i].std() - ref.std()) < 0.02, i
 
 
+def test_wind_tunnel_informative():
+    """Pressure-tap observations separate angles of attack well beyond the
+    noise floor (pre-stall vs post-stall regimes are distinguishable)."""
+    task = npt.tasks.get_task("wind_tunnel")
+    keys = jax.random.split(jax.random.PRNGKey(40), 64)
+    x_lo = jax.vmap(lambda k: task.simulator(k, jnp.array([5.0])))(keys)
+    x_hi = jax.vmap(lambda k: task.simulator(k, jnp.array([40.0])))(keys)
+    gap = np.abs(np.asarray(x_lo.mean(0)) - np.asarray(x_hi.mean(0)))
+    pooled_std = 0.5 * (np.asarray(x_lo.std(0)) + np.asarray(x_hi.std(0)))
+    assert (gap > 3.0 * pooled_std).any(), (gap, pooled_std)
+    # Mid-range angles also move the observable (not flat pre-stall).
+    x_mid = jax.vmap(lambda k: task.simulator(k, jnp.array([12.0])))(keys)
+    assert np.abs(np.asarray(x_lo.mean(0) - x_mid.mean(0))).max() > 0.2
+
+
 def test_prior_v2_enrichment():
     """v2 prior knobs produce finite tasks and default to v1 behavior."""
     from npe_pfn_tpu.pretrain import prior
