@@ -100,15 +100,21 @@ def _random_mlp(rng, x, out_dim: int, hidden: int):
     return h @ w3
 
 
-def _sample_one(rng: jax.Array, cfg: PriorConfig) -> Tuple[jnp.ndarray, ...]:
-    """Generate one dataset with static shapes [R=N+Q rows]."""
+def _sample_one(rng: jax.Array, cfg: PriorConfig, max_feat=None) -> Tuple[jnp.ndarray, ...]:
+    """Generate one dataset with static shapes [R=N+Q rows].
+
+    ``max_feat``: optional traced int32 overriding cfg.max_active_features —
+    lets a trainer anneal task difficulty (feature-count curriculum) without
+    recompiling per value.
+    """
     R = cfg.num_ctx + cfg.num_qry
     F = cfg.num_features
     ks = jax.random.split(rng, 24)
+    mf = cfg.max_active_features if max_feat is None else max_feat
 
     # --- active feature count / context size (biased toward small) ---------
     u_f = jax.random.uniform(ks[0], ())
-    f_active = 1 + jnp.floor(u_f**1.5 * (cfg.max_active_features - 1)).astype(jnp.int32)
+    f_active = 1 + jnp.floor(u_f**1.5 * (mf - 1)).astype(jnp.int32)
     u_n = jax.random.uniform(ks[1], ())
     n_active = cfg.min_ctx + jnp.floor(
         u_n**1.2 * (cfg.num_ctx - cfg.min_ctx)
@@ -195,8 +201,10 @@ def _sample_one(rng: jax.Array, cfg: PriorConfig) -> Tuple[jnp.ndarray, ...]:
 
 
 @partial(jax.jit, static_argnums=(1, 2))
-def sample_tasks(rng: jax.Array, num_datasets: int, cfg: PriorConfig) -> TaskBatch:
+def sample_tasks(
+    rng: jax.Array, num_datasets: int, cfg: PriorConfig, max_feat=None
+) -> TaskBatch:
     """Batch of synthetic tasks: one jit-compiled call, data born on device."""
     rngs = jax.random.split(rng, num_datasets)
-    out = jax.vmap(lambda r: _sample_one(r, cfg))(rngs)
+    out = jax.vmap(lambda r: _sample_one(r, cfg, max_feat))(rngs)
     return TaskBatch(*out)

@@ -52,6 +52,12 @@ class TrainConfig:
     # 0.097 -> 0.22+ within 7k steps at lr 1.5e-4); the upsampled head is the
     # part that actually needs learning after a 256->1024-bar upgrade.
     lr_trunk: Optional[float] = None
+    # Feature-count curriculum: when steps > 0, the per-dataset active-feature
+    # cap ramps linearly from `feat_curriculum_init` to
+    # pcfg.max_active_features over that many steps. Passed as a traced
+    # scalar, so the ramp costs zero recompiles.
+    feat_curriculum_steps: int = 0
+    feat_curriculum_init: int = 8
 
 
 def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
@@ -123,9 +129,10 @@ def train_step(
     opt_state: Any,
     borders: jnp.ndarray,
     rng: jax.Array,
+    max_feat=None,
 ) -> Tuple[Any, Any, jnp.ndarray, jnp.ndarray]:
     data_rng, rng = jax.random.split(rng)
-    batch = prior.sample_tasks(data_rng, tcfg.num_datasets, pcfg)
+    batch = prior.sample_tasks(data_rng, tcfg.num_datasets, pcfg, max_feat)
     loss, grads = jax.value_and_grad(
         lambda p: batch_loss(cfg, borders, p, batch)
     )(params)
@@ -202,8 +209,19 @@ def train(
         # chain: a watchdog restart resuming at step k continues the task
         # stream at position k instead of replaying tasks 1..k.
         step_rng = jax.random.fold_in(base_rng, step)
+        if tcfg.feat_curriculum_steps > 0:
+            frac = min(1.0, step / tcfg.feat_curriculum_steps)
+            max_feat = jnp.asarray(
+                round(
+                    tcfg.feat_curriculum_init
+                    + frac * (pcfg.max_active_features - tcfg.feat_curriculum_init)
+                ),
+                jnp.int32,
+            )
+        else:
+            max_feat = None
         params, opt_state, loss, gnorm = train_step(
-            cfg, tcfg, pcfg, params, opt_state, model.borders, step_rng
+            cfg, tcfg, pcfg, params, opt_state, model.borders, step_rng, max_feat
         )
         step += 1
         loss_acc += float(loss)

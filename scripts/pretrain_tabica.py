@@ -49,6 +49,11 @@ def main():
     p.add_argument("--p_heteroscedastic", type=float, default=0.0)
     p.add_argument("--p_heavy_tail", type=float, default=0.0)
     p.add_argument("--p_categorical_feats", type=float, default=0.0)
+    # Feature-count curriculum (see TrainConfig.feat_curriculum_steps)
+    p.add_argument("--feat_curriculum_steps", type=int, default=0)
+    p.add_argument("--feat_curriculum_init", type=int, default=8)
+    p.add_argument("--max_active_features", type=int, default=None,
+                   help="active-feature cap (default min(24, max_features))")
     args = p.parse_args()
 
     cfg = TabICAConfig(
@@ -67,12 +72,18 @@ def main():
         seed=args.seed,
         ckpt_every=args.ckpt_every,
         val_every=args.val_every,
+        feat_curriculum_steps=args.feat_curriculum_steps,
+        feat_curriculum_init=args.feat_curriculum_init,
     )
     pcfg = prior.PriorConfig(
         num_features=args.max_features,
         num_ctx=args.num_ctx,
         num_qry=args.num_qry,
-        max_active_features=min(24, args.max_features),
+        max_active_features=(
+            args.max_active_features
+            if args.max_active_features is not None
+            else min(24, args.max_features)
+        ),
         p_heteroscedastic=args.p_heteroscedastic,
         p_heavy_tail=args.p_heavy_tail,
         p_categorical_feats=args.p_categorical_feats,

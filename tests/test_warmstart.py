@@ -81,3 +81,40 @@ def test_partitioned_lr_optimizer():
     d_head = np.abs(flat(params["head"]) - p0["head"]).mean()
     d_trunk = np.abs(flat(params["blocks"]) - p0["blocks"]).mean()
     assert d_head > 10 * d_trunk, (d_head, d_trunk)
+
+
+def test_feature_curriculum():
+    """Traced max_feat override caps the active-feature count (up to the
+    inverse family's theta-dim floor) and is accepted by train_step without
+    changing the no-curriculum default path."""
+    import numpy as np
+    from npe_pfn_tpu.models.config import TabICAConfig
+    from npe_pfn_tpu.models.regressor import TabICAModel
+    from npe_pfn_tpu.pretrain import prior, train
+
+    pcfg = prior.PriorConfig(num_features=16, num_ctx=32, num_qry=16,
+                             max_active_features=14, hidden=16, max_theta_dim=4)
+    b_lo = prior.sample_tasks(jax.random.PRNGKey(0), 64, pcfg,
+                              jnp.asarray(2, jnp.int32))
+    b_hi = prior.sample_tasks(jax.random.PRNGKey(0), 64, pcfg,
+                              jnp.asarray(14, jnp.int32))
+    b_def = prior.sample_tasks(jax.random.PRNGKey(0), 64, pcfg)
+    n_lo = np.asarray(b_lo.feat_mask.sum(-1))
+    n_hi = np.asarray(b_hi.feat_mask.sum(-1))
+    # Inverse-family tasks may use up to max(max_feat, max_theta_dim) columns.
+    assert n_lo.max() <= max(2, pcfg.max_theta_dim + 1)
+    assert n_lo.mean() < n_hi.mean() - 1.0
+    # max_feat == cfg default reproduces the default path exactly.
+    assert np.array_equal(n_hi, np.asarray(b_def.feat_mask.sum(-1)))
+
+    cfg = TabICAConfig(d_model=32, num_heads=2, num_layers=2, max_features=16,
+                       num_bars=32, dtype="float32")
+    tcfg = train.TrainConfig(num_datasets=2, warmup_steps=2, max_steps=10,
+                             feat_curriculum_steps=100, feat_curriculum_init=4)
+    model = TabICAModel.create(jax.random.PRNGKey(0), cfg)
+    opt = train.make_optimizer(tcfg)
+    params, opt_state, loss, _ = train.train_step(
+        cfg, tcfg, pcfg, model.params, opt.init(model.params), model.borders,
+        jax.random.PRNGKey(1), jnp.asarray(4, jnp.int32),
+    )
+    assert np.isfinite(float(loss))
