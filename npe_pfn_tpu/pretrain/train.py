@@ -164,6 +164,8 @@ def train(
     log_path: Optional[str] = None,
     time_limit_s: Optional[float] = None,
     init_from: Optional[str] = None,
+    profile_steps: int = 0,
+    profile_dir: str = "/tmp/npe_pfn_tpu_pretrain_trace",
 ) -> TabICAModel:
     """Full pretraining run with atomic checkpointing + resume.
 
@@ -204,7 +206,18 @@ def train(
     t_last = t_start
     loss_acc, n_acc = 0.0, 0
 
+    # Optional step-time profiling (VERDICT throughput item): after the first
+    # (compile) step, capture `profile_steps` steps with jax.profiler so the
+    # MXU-utilization / data-gen split is inspectable in xprof.
+    profile_started = False
+    profile_stop_at = None
+
     while step < tcfg.max_steps:
+        if profile_steps and not profile_started and step >= 1:
+            jax.profiler.start_trace(profile_dir)
+            profile_started = True
+            profile_stop_at = step + profile_steps
+            print(f"[pretrain] profiling {profile_steps} steps -> {profile_dir}")
         # Per-step rng derived from the step index, not a sequential split
         # chain: a watchdog restart resuming at step k continues the task
         # stream at position k instead of replaying tasks 1..k.
@@ -226,6 +239,11 @@ def train(
         step += 1
         loss_acc += float(loss)
         n_acc += 1
+        if profile_started and profile_stop_at is not None and step >= profile_stop_at:
+            jax.block_until_ready(loss)
+            jax.profiler.stop_trace()
+            profile_stop_at = None
+            print(f"[pretrain] profile written to {profile_dir}")
         if step == 1 or (step < tcfg.log_every and step % 10 == 0):
             print(
                 f"[pretrain] step {step} loss {loss_acc / n_acc:.4f} "

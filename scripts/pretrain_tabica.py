@@ -54,6 +54,9 @@ def main():
     p.add_argument("--feat_curriculum_init", type=int, default=8)
     p.add_argument("--max_active_features", type=int, default=None,
                    help="active-feature cap (default min(24, max_features))")
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler trace over this many steps")
+    p.add_argument("--profile_dir", default="/tmp/npe_pfn_tpu_pretrain_trace")
     args = p.parse_args()
 
     cfg = TabICAConfig(
@@ -106,6 +109,8 @@ def main():
         log_path=args.log,
         time_limit_s=args.time_limit_s,
         init_from=args.init_from,
+        profile_steps=args.profile_steps,
+        profile_dir=args.profile_dir,
     )
 
 
