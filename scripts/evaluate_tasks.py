@@ -40,27 +40,40 @@ def main():
     from npe_pfn_tpu.eval import harness
     from npe_pfn_tpu.tasks import get_task
 
+    failures = []
     for name in args.tasks:
-        task = get_task(name)
-        path = os.path.join(args.out, f"{task.name}.json")
-        results = harness.evaluate_task(
-            task,
-            num_cal_grid=args.num_cal,
-            seeds=args.seeds,
-            num_test=args.num_test,
-            num_posterior_samples=args.num_posterior_samples,
-            estimator_kwargs={
-                "filter_context_size": args.filter_context_size,
-                "qry_chunk": args.qry_chunk,
-                "target_transform": args.target_transform,
-            },
-            results_path=path,
-            n_obs_eval=args.n_obs_eval,
-        )
-        summary = harness.summarize(results)
-        with open(os.path.join(args.out, f"{task.name}.summary.json"), "w") as f:
-            json.dump(summary, f, indent=2)
-        print(json.dumps({task.name: summary}, indent=2))
+        # One task blowing up must not skip its siblings (the reference's
+        # per-task OAR jobs get this isolation for free; serial stages here
+        # need it explicitly). Completed cells are already on disk either way.
+        try:
+            task = get_task(name)
+            path = os.path.join(args.out, f"{task.name}.json")
+            results = harness.evaluate_task(
+                task,
+                num_cal_grid=args.num_cal,
+                seeds=args.seeds,
+                num_test=args.num_test,
+                num_posterior_samples=args.num_posterior_samples,
+                estimator_kwargs={
+                    "filter_context_size": args.filter_context_size,
+                    "qry_chunk": args.qry_chunk,
+                    "target_transform": args.target_transform,
+                },
+                results_path=path,
+                n_obs_eval=args.n_obs_eval,
+            )
+            summary = harness.summarize(results)
+            with open(os.path.join(args.out, f"{task.name}.summary.json"), "w") as f:
+                json.dump(summary, f, indent=2)
+            print(json.dumps({task.name: summary}, indent=2))
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
+            failures.append(name)
+    if failures:
+        print(f"[evaluate_tasks] FAILED tasks: {failures}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":
