@@ -44,8 +44,13 @@ echo "[queue] evaluating checkpoint $CKPT"
 #    sections, incremental saves), then the quality gate: DEFAULT points at
 #    whichever of v1/v2 scores better on the ground-truth-gated C2ST cells.
 #    Everything after runs on the winner (no env override → DEFAULT pointer).
-NPE_PFN_TPU_CHECKPOINT="$CKPT" timeout 7200 python scripts/tpu_eval_bundle.py \
+#    The bundle saves incrementally and uses the persistent compile cache,
+#    so the stall watchdog can safely restart it if the remote compile
+#    service silently drops a request (known failure mode).
+NPE_PFN_TPU_CHECKPOINT="$CKPT" bash scripts/run_with_watchdog.sh \
+    /tmp/bundle_v2.log 1500 7200 -- python scripts/tpu_eval_bundle.py \
     --out=results/tpu_eval_v2.json
+tail -5 /tmp/bundle_v2.log
 python scripts/select_checkpoint.py \
     "results/tpu_eval_v1.json=tabica_v1.npz" \
     "results/tpu_eval_v2.json=$(basename "$CKPT")" | tee results/select_checkpoint.log
