@@ -69,7 +69,14 @@ commit_results "TPU bundle for v2 checkpoint + quality-gate selection"
 timeout 2400 python bench.py | tee results/bench_round2.json
 commit_results "Round-2 headline bench on selected checkpoint"
 
-# 3. Reference-scale eval grid (serial, one process).
+# 3. Length generalization with the flash kernel at long contexts — ahead
+#    of the long grids: it is an explicit round-2 deliverable and cheap.
+timeout 2400 python scripts/length_generalization.py \
+    --sizes 512 1024 2048 4096 8192 --num_train 16384 \
+    --out results/length_generalization.jsonl
+commit_results "Length-generalization curve"
+
+# 4. Reference-scale eval grid (serial, one process).
 timeout 5400 python scripts/evaluate_tasks.py \
     --tasks gaussian_linear two_moons slcp gaussian_mixture bernoulli_glm high_dim_gaussian \
     --num_cal 10 50 200 1000 --seeds 0 1 2 3 4 \
@@ -93,12 +100,6 @@ timeout 2700 python scripts/evaluate_tasks.py \
     --num_cal 10 50 200 1000 --seeds 0 1 2 3 4 \
     --num_test 1000 --out results
 commit_results "Joint-metric task grid"
-
-# 5. Length generalization with the flash kernel at long contexts.
-timeout 2400 python scripts/length_generalization.py \
-    --sizes 512 1024 2048 4096 8192 --num_train 16384 \
-    --out results/length_generalization.jsonl
-commit_results "Length-generalization curve"
 
 # 6. Calibration (SBC) + classifier-calibration + predictive checks.
 timeout 1800 python scripts/calibration_check.py --task gaussian_linear \
