@@ -10,6 +10,7 @@ posterior sample in its own saved benchmark
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import argparse
 import json
 import sys
 import time
@@ -17,6 +18,12 @@ import time
 
 def main():
     import os
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None,
+                    help="also write the JSON record to this file (keeps the "
+                    "committed artifact clean of log lines on stdout)")
+    args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
@@ -60,16 +67,18 @@ def main():
 
     throughput = num_samples / elapsed
     baseline_throughput = 10.0 / 8.11  # reference Strategy A, saved output
-    print(
-        json.dumps(
-            {
-                "metric": "posterior_samples_per_sec_10d_gaussian_linear_1chip",
-                "value": round(throughput, 2),
-                "unit": "samples/s",
-                "vs_baseline": round(throughput / baseline_throughput, 1),
-            }
-        )
+    record = json.dumps(
+        {
+            "metric": "posterior_samples_per_sec_10d_gaussian_linear_1chip",
+            "value": round(throughput, 2),
+            "unit": "samples/s",
+            "vs_baseline": round(throughput / baseline_throughput, 1),
+        }
     )
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(record + "\n")
+    print(record)
 
 
 if __name__ == "__main__":

@@ -17,6 +17,7 @@ TabPFN_Based_Uncond_Estimator, ``run_tsnpe`` ≙ run_tsnpe_pfn.
 __version__ = "0.1.0"
 
 from . import distributions, embeddings, filters, models, tasks  # noqa: F401
+from .baselines import FlowNPE  # noqa: F401
 from .estimator import NPEPFN, DensityRatioEstimator  # noqa: F401
 from .rejection import accept_reject_sample  # noqa: F401
 from .restricted_prior import RestrictedPrior  # noqa: F401
@@ -28,6 +29,7 @@ from .unconditional import UnconditionalEstimator  # noqa: F401
 __all__ = [
     "NPEPFN",
     "DensityRatioEstimator",
+    "FlowNPE",
     "PosteriorSupport",
     "RestrictedPrior",
     "CachedPosterior",

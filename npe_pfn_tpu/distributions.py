@@ -170,7 +170,26 @@ class TruncatedByBounds(Distribution):
         return self.base.event_dim
 
     def sample(self, rng, shape=()):
-        raise NotImplementedError("sample via rejection against base")
+        """Fixed-shape rejection against `base`: every iteration redraws the
+        still-rejected slots (compile-once under jit); after 32 rounds the
+        stragglers are clamped to the box — the same bounded escape-hatch
+        convention as the rest of the framework (accept_reject_sampler.py:74-77
+        semantics)."""
+        shape = tuple(shape)
+
+        def body(_, carry):
+            cur, ok, k = carry
+            k, kd = jax.random.split(k)
+            cand = self.base.sample(kd, shape)
+            inside = jnp.all((cand >= self.low) & (cand <= self.high), axis=-1)
+            cur = jnp.where((~ok & inside)[..., None], cand, cur)
+            return cur, ok | inside, k
+
+        rng, kd = jax.random.split(rng)
+        cand0 = self.base.sample(kd, shape)
+        ok0 = jnp.all((cand0 >= self.low) & (cand0 <= self.high), axis=-1)
+        cur, ok, _ = jax.lax.fori_loop(0, 31, body, (cand0, ok0, rng))
+        return jnp.where(ok[..., None], cur, jnp.clip(cur, self.low, self.high))
 
     def log_prob(self, x):
         inside = jnp.all((x >= self.low) & (x <= self.high), axis=-1)

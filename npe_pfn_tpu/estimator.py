@@ -477,7 +477,8 @@ class NPEPFN:
         self._theta_train: Optional[Array] = None
         self._x_train: Optional[Array] = None
         self._ctx_version = 0
-        self._ratio = DensityRatioEstimator(model, context_size=ratio_context_size)
+        self.ratio_context_size = int(ratio_context_size)
+        self._ratio = DensityRatioEstimator(model, context_size=self.ratio_context_size)
 
     # -- state / serialization (reference pickle hooks npe_pfn.py:57-71) ----
 
@@ -495,7 +496,10 @@ class NPEPFN:
         if self._theta_train is not None:
             self._theta_train = jnp.asarray(self._theta_train)
             self._x_train = jnp.asarray(self._x_train)
-        self._ratio = DensityRatioEstimator(self.model)
+        self._ratio = DensityRatioEstimator(
+            self.model,
+            context_size=getattr(self, "ratio_context_size", 512),
+        )
 
     # -- data ----------------------------------------------------------------
 
@@ -638,6 +642,15 @@ class NPEPFN:
 
         from .rejection import accept_reject_sample
 
+        # Align the proposal batch to qry_chunk multiples: _raw_sample pads
+        # its query rows up to the next chunk boundary anyway, so drawing the
+        # padded size costs the same kernel pass but yields every computed
+        # row. Without this, sample(10_240) with the 10_000 cap accepted
+        # 10_000 rows on iteration 1 and burned a second full pass on the
+        # final 240 (round-2 bench regression).
+        batch = _round_up(
+            min(num_samples, max_sampling_batch_size), self.qry_chunk
+        )
         theta_out, lp_out, acceptance = accept_reject_sample(
             rng,
             proposal_fn=lambda k, n: self._raw_sample(
@@ -645,7 +658,7 @@ class NPEPFN:
             ),
             accept_reject_fn=self._within_support,
             num_samples=num_samples,
-            batch_size=min(num_samples, max_sampling_batch_size),
+            batch_size=batch,
             max_iters=max_iters,
             show_progress=show_progress,
         )

@@ -175,12 +175,28 @@ def flash_row_attention(
         ],
         interpret=interpret,
     )(qf, kf, vf, mask_f)
-    out = jnp.swapaxes(out.reshape(b, h, lq_p, hd), 1, 2)
-    return out[:, :lq]
+    out = jnp.swapaxes(out.reshape(b, h, lq_p, hd), 1, 2)[:, :lq]
+    return out * _any_valid_gate(kv_mask, out.dtype)
 
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def _any_valid_gate(kv_mask, dtype):
+    """0/1 gate per batch row for the degenerate all-keys-masked case.
+
+    With every key masked, the in-kernel softmax reduces over the raw scores
+    shifted by -1e30 and returns the *mean of masked V rows* instead of
+    zeros (and the saved lse makes the backward leak O(1) gradients through
+    masked keys). Gating forward output and the incoming cotangent on
+    "any key valid" restores 0 output / 0 gradient for empty contexts.
+    Shape: scalar for a shared [Lk] mask, [B,1,1,1] for per-batch [B, Lk].
+    """
+    valid = (jnp.sum(kv_mask.astype(jnp.float32), axis=-1) > 0).astype(dtype)
+    if kv_mask.ndim == 1:
+        return valid
+    return valid[:, None, None, None]
 
 
 # ---------------------------------------------------------------------------
@@ -303,7 +319,7 @@ def _flash_fwd_lse(q, k, v, kv_mask, block_q=256, block_k=512, interpret=False):
     )(qf, kf, vf, mask_f)
     out = jnp.swapaxes(out.reshape(b, h, lq_p, hd), 1, 2)[:, :lq]
     lse = lse.reshape(b, h, lq_p)[:, :, :lq]
-    return out, lse
+    return out * _any_valid_gate(kv_mask, out.dtype), lse
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -332,7 +348,6 @@ def _trainable_bwd(block_q, block_k, interpret, res, d_out):
     qh = jnp.swapaxes(q, 1, 2).astype(f32)  # [B, H, Lq, hd]
     doh = jnp.swapaxes(d_out, 1, 2).astype(f32)
     outh = jnp.swapaxes(out, 1, 2).astype(f32)
-    delta = jnp.sum(doh * outh, axis=-1)  # [B, H, Lq]
 
     lk_p = _round_up(lk, block_k)
     pad = lk_p - lk
@@ -340,6 +355,10 @@ def _trainable_bwd(block_q, block_k, interpret, res, d_out):
         kv_mask[None, :], (b, lk)
     )
     mask2 = jnp.pad(mask2.astype(f32), ((0, 0), (0, pad)))
+    # Empty-context rows: zero the incoming cotangent so dv/dp/ds/dq all
+    # vanish for batch rows with no valid key (see _any_valid_gate).
+    doh = doh * (jnp.sum(mask2, axis=-1) > 0).astype(f32)[:, None, None, None]
+    delta = jnp.sum(doh * outh, axis=-1)
     kp = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))).astype(f32)
     vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))).astype(f32)
     nkb = lk_p // block_k

@@ -174,7 +174,11 @@ def train(
     used when no resume state exists for ``ckpt_path`` itself.
     """
     base_rng = jax.random.PRNGKey(tcfg.seed)
-    model = TabICAModel.create(base_rng, cfg)
+    # Separate init key from the data-stream base: reusing one key for both
+    # parameter init and the per-step fold_in stream correlates the first
+    # task batch with the init draw (advisor finding, round 2).
+    init_rng = jax.random.fold_in(base_rng, -1)
+    model = TabICAModel.create(init_rng, cfg)
     params = model.params
     state_path = ckpt_path + ".train_state.npz"
     if init_from and not (resume and os.path.exists(state_path)):

@@ -40,24 +40,32 @@ def prereject_with_bounds(
     high: jnp.ndarray,
     batch_size: int = 262_144,
     max_iters: int = 32,
-) -> jnp.ndarray:
+    return_num_drawn: bool = False,
+):
     """Draw `num_samples` from `proposal` restricted to a box.
 
     Mirrors support_posterior.py:264-309 including the (Box)Uniform
     shortcut: a uniform proposal intersected with the box is sampled
     directly, no rejection at all (support_posterior.py:295-307).
+
+    With ``return_num_drawn`` also returns the number of raw proposal draws
+    actually made, so callers can report honest acceptance rates (for the
+    uniform shortcut this is ``num_samples`` — no rejection happened).
     """
     if isinstance(proposal, BoxUniform):
         inter = intersect_boxes(proposal, low, high)
         if bool(jnp.all(inter.high > inter.low)):
-            return inter.sample(rng, (num_samples,))
+            s = inter.sample(rng, (num_samples,))
+            return (s, num_samples) if return_num_drawn else s
         # Degenerate intersection: fall through to rejection.
 
     out = []
     got = 0
+    n_drawn = 0
     for _ in range(max_iters):
         rng, k = jax.random.split(rng)
         cand = proposal.sample(k, (batch_size,))
+        n_drawn += batch_size
         keep = jnp.all((cand >= low) & (cand <= high), axis=-1)
         idx = np.nonzero(np.asarray(keep))[0][: num_samples - got]
         if idx.size:
@@ -68,8 +76,10 @@ def prereject_with_bounds(
     if got < num_samples:  # pad with raw proposal samples (escape hatch)
         rng, k = jax.random.split(rng)
         pad = proposal.sample(k, (num_samples - got,))
+        n_drawn += num_samples - got
         out.append(np.asarray(pad))
-    return jnp.asarray(np.concatenate(out, axis=0)[:num_samples])
+    s = jnp.asarray(np.concatenate(out, axis=0)[:num_samples])
+    return (s, n_drawn) if return_num_drawn else s
 
 
 class PosteriorSupport(Distribution):
@@ -201,10 +211,14 @@ class PosteriorSupport(Distribution):
         for it in range(self.max_iters):
             rng, k_pre, k_post = jax.random.split(rng, 3)
             # Bounding-box pre-rejection fast path (support_posterior.py:144-152).
-            cand = prereject_with_bounds(
-                k_pre, self.prior, self.batch_size, self._box_low, self._box_high
+            cand, n_raw = prereject_with_bounds(
+                k_pre, self.prior, self.batch_size, self._box_low, self._box_high,
+                return_num_drawn=True,
             )
-            drawn += self.batch_size
+            # Count actual prior draws inside prereject, not just the
+            # post-prereject batch size — otherwise the reported acceptance
+            # rate is inflated when the box is tight (round-2 verdict).
+            drawn += n_raw
             kept_pre += cand.shape[0]
             lp = self._posterior_log_prob(cand)
             keep = np.asarray(lp > self.log_prob_threshold)

@@ -29,6 +29,10 @@ class Task:
     # Analytic conditional posterior sampler, if one exists:
     # (rng, x_o, n) -> [n, dim_theta]
     posterior_sampler: Optional[Callable] = None
+    # Exact posterior log-density, when available in closed form:
+    # (x_o, theta [n, dim_theta]) -> [n]. Ground truth for validating the
+    # estimator's log_prob modes (reference semantics: npe_pfn.py:462-570).
+    posterior_log_prob: Optional[Callable] = None
     # Set when x is a flattened image: the eval harness then scores joint
     # C2ST with a TRAINED conv discriminator (reference trains ConvNN1D/2D
     # classifiers for such tasks, evaluate_ropefm_batched.py:118-304).
@@ -125,7 +129,18 @@ def gaussian_linear(dim: int = 10, prior_scale: float = 1.0, noise_scale: float 
         mu = coef * x_o
         return mu + jnp.sqrt(post_var) * jax.random.normal(rng, (n, dim))
 
-    return Task(f"gaussian_linear_{dim}d", prior, sim, dim, dim, posterior_sampler)
+    def posterior_log_prob(x_o, theta):
+        mu = coef * x_o
+        return jnp.sum(
+            -0.5 * (theta - mu) ** 2 / post_var
+            - 0.5 * jnp.log(2 * jnp.pi * post_var),
+            axis=-1,
+        )
+
+    return Task(
+        f"gaussian_linear_{dim}d", prior, sim, dim, dim, posterior_sampler,
+        posterior_log_prob=posterior_log_prob,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -521,8 +536,29 @@ def gaussian_linear_uniform(dim: int = 10, noise_scale: float = 0.316227766) -> 
         u = jnp.clip(u, 1e-7, 1.0 - 1e-7)
         return jnp.clip(x_o + noise_scale * ndtri(u), -1.0, 1.0)
 
+    def posterior_log_prob(x_o, theta):
+        # Per-dim truncated N(x_i, σ²) on [-1, 1].
+        from jax.scipy.stats.norm import cdf as ncdf
+
+        z = (theta - x_o) / noise_scale
+        log_norm = jnp.log(
+            jnp.maximum(
+                ncdf((1.0 - x_o) / noise_scale) - ncdf((-1.0 - x_o) / noise_scale),
+                1e-300,
+            )
+        )
+        per_dim = (
+            -0.5 * z**2
+            - jnp.log(noise_scale)
+            - 0.5 * jnp.log(2 * jnp.pi)
+            - log_norm
+        )
+        inside = jnp.all(jnp.abs(theta) <= 1.0, axis=-1)
+        return jnp.where(inside, jnp.sum(per_dim, axis=-1), -jnp.inf)
+
     return Task(
-        f"gaussian_linear_uniform_{dim}d", prior, sim, dim, dim, posterior_sampler
+        f"gaussian_linear_uniform_{dim}d", prior, sim, dim, dim, posterior_sampler,
+        posterior_log_prob=posterior_log_prob,
     )
 
 
@@ -583,14 +619,29 @@ def high_dim_gaussian(theta_dim: int = 3, obs_dim: int = 3) -> Task:
         0.5 * (post_cov + post_cov.T) + 1e-9 * jnp.eye(theta_dim)
     )
 
-    def posterior_sampler(rng, x_o, n):
-        mean = post_cov @ (
+    def _post_mean(x_o):
+        return post_cov @ (
             prior_cov_inv @ prior_loc + f_mat.T @ (sigma_y_inv @ (x_o - c_vec))
         )
-        eps = jax.random.normal(rng, (n, theta_dim))
-        return mean + eps @ post_chol.T
 
-    return Task("high_dim_gaussian", prior, sim, theta_dim, obs_dim, posterior_sampler)
+    def posterior_sampler(rng, x_o, n):
+        eps = jax.random.normal(rng, (n, theta_dim))
+        return _post_mean(x_o) + eps @ post_chol.T
+
+    def posterior_log_prob(x_o, theta):
+        diff = theta - _post_mean(x_o)
+        z = jax.scipy.linalg.solve_triangular(post_chol, diff.T, lower=True).T
+        logdet = jnp.sum(jnp.log(jnp.diag(post_chol)))
+        return (
+            -0.5 * jnp.sum(z**2, axis=-1)
+            - logdet
+            - 0.5 * theta_dim * jnp.log(2 * jnp.pi)
+        )
+
+    return Task(
+        "high_dim_gaussian", prior, sim, theta_dim, obs_dim, posterior_sampler,
+        posterior_log_prob=posterior_log_prob,
+    )
 
 
 _TASKS = {

@@ -28,10 +28,16 @@ def score(bundle: dict):
          if r.get("target_transform", "zscore") == "zscore"]
     if q:
         parts["gaussian_linear"] = sum(q) / len(q)
-    tm = [r["c2st_vs_exact"] for r in bundle.get("two_moons", [])]
+    # Compare on the served default config only (zscore): newer bundles also
+    # emit quantile-variant rows, and letting a candidate win on a best-of-4
+    # vs the incumbent's best-of-2 would flip DEFAULT on a configuration the
+    # shipped estimator doesn't use by default (advisor finding, round 2).
+    tm = [r["c2st_vs_exact"] for r in bundle.get("two_moons", [])
+          if r.get("target_transform", "zscore") == "zscore"]
     if tm:
         parts["two_moons"] = min(tm)
-    sl = [r["c2st_vs_mcmc"] for r in bundle.get("slcp", [])]
+    sl = [r["c2st_vs_mcmc"] for r in bundle.get("slcp", [])
+          if r.get("target_transform", "zscore") == "zscore"]
     if sl:
         parts["slcp"] = min(sl)
     return parts

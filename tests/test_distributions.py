@@ -64,6 +64,18 @@ def test_truncated_by_bounds():
 
 
 @pytest.mark.fast
+def test_truncated_by_bounds_sample():
+    """Rejection sampling lands inside the box and matches the truncated
+    density (mean of N(0,1) truncated to [0,1] ≈ 0.4598)."""
+    base = D.Normal(loc=jnp.zeros(1), scale=jnp.ones(1))
+    t = D.TruncatedByBounds(base=base, low=jnp.array([0.0]), high=jnp.array([1.0]))
+    s = np.asarray(t.sample(jax.random.PRNGKey(0), (20000,)))
+    assert s.shape == (20000, 1)
+    assert s.min() >= 0.0 and s.max() <= 1.0
+    np.testing.assert_allclose(s.mean(), 0.4598, atol=0.02)
+
+
+@pytest.mark.fast
 def test_intersect_boxes():
     a = D.BoxUniform(low=jnp.array([-2.0]), high=jnp.array([2.0]))
     inter = D.intersect_boxes(a, jnp.array([0.0]), jnp.array([5.0]))

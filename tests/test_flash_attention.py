@@ -36,6 +36,38 @@ def test_flash_all_masked_block():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
 
+def test_flash_empty_context_zero_output_and_grad():
+    """A batch row whose keys are ALL masked must return zeros forward and
+    propagate zero gradients (advisor finding, round 2: without the gate the
+    kernel returned the mean of masked V rows and the VJP leaked O(1)
+    gradients through masked keys)."""
+    from npe_pfn_tpu.ops.flash_attention import flash_row_attention_trainable
+
+    b, h, hd, lq, lk = 2, 1, 32, 16, 64
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(ks[0], (b, lq, h, hd), jnp.float32)
+    k = jax.random.normal(ks[1], (b, lk, h, hd), jnp.float32)
+    v = jax.random.normal(ks[2], (b, lk, h, hd), jnp.float32)
+    # batch row 0: valid keys; batch row 1: empty context
+    mask = jnp.stack([jnp.arange(lk) < 32, jnp.zeros(lk, bool)])
+
+    out = flash_row_attention(q, k, v, mask, block_q=16, block_k=32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out[1]), 0.0)
+    assert np.all(np.isfinite(np.asarray(out[0])))
+
+    def loss(q, k, v):
+        o = flash_row_attention_trainable(q, k, v, mask, 16, 32, True)
+        return jnp.sum(o**2)
+
+    o_t = flash_row_attention_trainable(q, k, v, mask, 16, 32, True)
+    np.testing.assert_array_equal(np.asarray(o_t[1]), 0.0)
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_array_equal(np.asarray(dq[1]), 0.0)
+    np.testing.assert_array_equal(np.asarray(dk[1]), 0.0)
+    np.testing.assert_array_equal(np.asarray(dv[1]), 0.0)
+    assert float(jnp.abs(dq[0]).sum()) > 0  # valid row still gets gradients
+
+
 def test_transformer_forward_with_flash_matches_xla():
     """Full forward with flash row-attention (interpret) vs XLA path."""
     from npe_pfn_tpu.models import TabICAConfig, TabICAModel, transformer

@@ -211,6 +211,42 @@ def test_gaussian_linear_uniform_ground_truth():
         assert abs(post[:, i].std() - ref.std()) < 0.02, i
 
 
+def test_posterior_log_prob_normalized_and_consistent():
+    """Closed-form Task.posterior_log_prob densities integrate to 1 on a
+    grid and agree with their own samplers (low-dim numeric check)."""
+    # gaussian_linear, 1D: grid-integrate the density.
+    task = npt.tasks.get_task("gaussian_linear", dim=1)
+    x_o = jnp.array([0.7])
+    g = jnp.linspace(-4.0, 4.0, 4001)[:, None]
+    lp = task.posterior_log_prob(x_o, g)
+    integral = float(jnp.trapezoid(jnp.exp(lp), g[:, 0]))
+    np.testing.assert_allclose(integral, 1.0, rtol=1e-3)
+    # Sampler moments match the density's argmax/width.
+    s = np.asarray(task.posterior_sampler(jax.random.PRNGKey(1), x_o, 50000))
+    dens_mean = float(jnp.sum(g[:, 0] * jnp.exp(lp)) / jnp.sum(jnp.exp(lp)))
+    np.testing.assert_allclose(s.mean(), dens_mean, atol=0.01)
+
+    # gaussian_linear_uniform, 1D: truncated normal integrates to 1 on the box.
+    task = npt.tasks.get_task("gaussian_linear_uniform", dim=1)
+    x_o = jnp.array([0.9])
+    g = jnp.linspace(-1.0, 1.0, 4001)[:, None]
+    lp = task.posterior_log_prob(x_o, g)
+    integral = float(jnp.trapezoid(jnp.exp(lp), g[:, 0]))
+    np.testing.assert_allclose(integral, 1.0, rtol=1e-3)
+    assert float(task.posterior_log_prob(x_o, jnp.array([[1.5]]))[0]) == -np.inf
+
+    # high_dim_gaussian: mean exact log-density of sampler draws equals the
+    # analytic negative entropy of the posterior MVN.
+    task = npt.tasks.get_task("high_dim_gaussian")
+    _, y = task.simulate(jax.random.PRNGKey(2), 1)
+    s = task.posterior_sampler(jax.random.PRNGKey(3), y[0], 100000)
+    mean_lp = float(task.posterior_log_prob(y[0], s).mean())
+    cov = np.cov(np.asarray(s), rowvar=False)
+    d = task.dim_theta
+    neg_entropy = -0.5 * (d * (1 + np.log(2 * np.pi)) + np.linalg.slogdet(cov)[1])
+    np.testing.assert_allclose(mean_lp, neg_entropy, rtol=0.02)
+
+
 def test_wind_tunnel_informative():
     """Pressure-tap observations separate angles of attack well beyond the
     noise floor (pre-stall vs post-stall regimes are distinguishable)."""
