@@ -338,10 +338,18 @@ class DensityRatioEstimator:
     classifier here is TabICA's posterior-mean-of-{0,1} head — no separate
     model. The fit is cached on (x, context fingerprint, n_samples, padding)
     exactly like the reference's refit_necessary (npe_pfn.py:663-681).
+
+    ``num_fits > 1`` ensembles independent classifier contexts (disjoint
+    posterior subsets + fresh uniform negatives) and averages their
+    probabilities: the reference trains its classifier on all ~5000 posterior
+    draws (npe_pfn.py:620-661), whereas one in-context fit here sees only
+    ``context_size`` rows — ensembling recovers coverage of the full draw
+    budget without exceeding the context ceiling.
     """
 
     model: TabICAModel
-    context_size: int = 512  # classifier context rows (pos+neg)
+    context_size: int = 512  # classifier context rows (pos+neg) per fit
+    num_fits: int = 1
     eps: float = 1e-12
 
     _cache_key: Optional[tuple] = field(default=None, repr=False)
@@ -365,19 +373,31 @@ class DensityRatioEstimator:
     def fit(self, rng, posterior_samples: Array, x, ctx_fingerprint, padding: float = 0.1):
         n_half = self.context_size // 2
         k1, k2 = jax.random.split(rng)
-        pos_idx = jax.random.permutation(k1, posterior_samples.shape[0])[:n_half]
-        pos = posterior_samples[pos_idx]
         lo = jnp.min(posterior_samples, axis=0)
         hi = jnp.max(posterior_samples, axis=0)
         span = hi - lo
         self._low = lo - padding * span
         self._high = hi + padding * span
         self._log_u = float(-jnp.sum(jnp.log(jnp.maximum(self._high - self._low, 1e-12))))
-        neg = BoxUniform(self._low, self._high).sample(k2, (n_half,))
-        self._ctx_theta = jnp.concatenate([pos, neg], axis=0)
-        self._ctx_labels = jnp.concatenate(
-            [jnp.ones((n_half,)), jnp.zeros((n_half,))]
-        )
+        # One permutation, sliced into (wrapping) disjoint positive subsets
+        # per fit; each fit gets fresh uniform negatives.
+        perm = jax.random.permutation(k1, posterior_samples.shape[0])
+        n_post = posterior_samples.shape[0]
+        ctxs, labels = [], []
+        for f_i in range(self.num_fits):
+            idx = jnp.take(
+                perm, (jnp.arange(n_half) + f_i * n_half) % n_post, axis=0
+            )
+            pos = posterior_samples[idx]
+            neg = BoxUniform(self._low, self._high).sample(
+                jax.random.fold_in(k2, f_i), (n_half,)
+            )
+            ctxs.append(jnp.concatenate([pos, neg], axis=0))
+            labels.append(
+                jnp.concatenate([jnp.ones((n_half,)), jnp.zeros((n_half,))])
+            )
+        self._ctx_theta = jnp.stack(ctxs)  # [num_fits, ctx, dθ]
+        self._ctx_labels = jnp.stack(labels)  # [num_fits, ctx]
         self._cache_key = (
             np.asarray(x).copy(),
             ctx_fingerprint,
@@ -401,10 +421,15 @@ class DensityRatioEstimator:
                 chunk = jnp.concatenate(
                     [chunk, jnp.zeros((pad, chunk.shape[1]), chunk.dtype)], axis=0
                 )
-            probs = regressor.predict_proba(
-                self.model, self._ctx_theta, self._ctx_labels, chunk
-            )
-            p1_parts.append(np.asarray(probs[:nc, 1]))
+            # Average class probabilities over the fit ensemble (mixture of
+            # classifiers), not log-ratios — keeps p₁+p₀ = 1.
+            p1_acc = 0.0
+            for f_i in range(self._ctx_theta.shape[0]):
+                probs = regressor.predict_proba(
+                    self.model, self._ctx_theta[f_i], self._ctx_labels[f_i], chunk
+                )
+                p1_acc = p1_acc + probs[:, 1]
+            p1_parts.append(np.asarray(p1_acc[:nc]) / self._ctx_theta.shape[0])
         p1 = jnp.asarray(np.concatenate(p1_parts, axis=0))
         p0 = 1.0 - p1
         inside = jnp.all((theta >= self._low) & (theta <= self._high), axis=-1)
@@ -436,9 +461,17 @@ class NPEPFN:
         filter_type: Union[str, Callable] = "standardized_euclidean_filtering",
         filter_context_size: int = 512,
         embedding_net: Optional[Callable[[Array], Array]] = None,
-        log_prob_mode: str = "ratio_based",
+        # Default differs from the reference (npe_pfn.py:425 ratio_based) by
+        # design: the reference preferred the ratio classifier because its
+        # autoregressive path cost dim_θ separate TabPFN fits per call; here
+        # AR log_prob is one fused scan (encode-once per dim, queries
+        # streamed) AND tracks exact densities far better — measured corr vs
+        # analytic posteriors ~0.98 (AR) vs ~0.6 (ratio), see
+        # scripts/validate_log_prob.py / results/log_prob_validation.json.
+        log_prob_mode: str = "autoregressive",
         qry_chunk: int = 1024,
         ratio_context_size: int = 512,
+        num_ratio_fits: int = 1,
         seed: int = 0,
         show_progress_bars: bool = False,
         x_shape: Optional[Tuple[int, ...]] = None,
@@ -478,7 +511,11 @@ class NPEPFN:
         self._x_train: Optional[Array] = None
         self._ctx_version = 0
         self.ratio_context_size = int(ratio_context_size)
-        self._ratio = DensityRatioEstimator(model, context_size=self.ratio_context_size)
+        self.num_ratio_fits = int(num_ratio_fits)
+        self._ratio = DensityRatioEstimator(
+            model, context_size=self.ratio_context_size,
+            num_fits=self.num_ratio_fits,
+        )
 
     # -- state / serialization (reference pickle hooks npe_pfn.py:57-71) ----
 
@@ -499,6 +536,7 @@ class NPEPFN:
         self._ratio = DensityRatioEstimator(
             self.model,
             context_size=getattr(self, "ratio_context_size", 512),
+            num_fits=getattr(self, "num_ratio_fits", 1),
         )
 
     # -- data ----------------------------------------------------------------

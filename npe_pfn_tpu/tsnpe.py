@@ -57,7 +57,8 @@ def run_tsnpe(
     num_simulations: int = 1000,
     rng: Optional[jax.Array] = None,
     estimator: Optional[NPEPFN] = None,
-    log_prob_mode: str = "ratio_based",
+    log_prob_mode: str = "autoregressive",  # ref default ratio_based
+    # (tsnpe_pfn.py:25); flipped for the same reason as NPEPFN.log_prob_mode
     sampling_method: str = "rejection",
     filtering: str = "no_filtering",
     allowed_false_negatives: float = 0.0001,
