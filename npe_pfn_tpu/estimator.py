@@ -52,6 +52,15 @@ def _round_up(n: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _order_prefix_masks(order: Array, dx: int, f: int) -> Array:
+    """[dθ, f] bool: mask[i] = x columns ∪ θ columns sampled before step i
+    under ``order`` (the AR factorization's conditioning set)."""
+    dth = order.shape[0]
+    onehot = jax.nn.one_hot(dx + order, f, dtype=jnp.int32)  # [dθ, f]
+    before = jnp.cumsum(onehot, axis=0) - onehot  # exclusive prefix
+    return (jnp.arange(f)[None, :] < dx) | (before > 0)
+
+
 @partial(jax.jit, static_argnames=("qry_chunk", "target_transform"))
 def autoregressive_sample(
     model: TabICAModel,
@@ -62,6 +71,7 @@ def autoregressive_sample(
     rng: jax.Array,
     qry_chunk: int = 1024,
     target_transform: str = "zscore",
+    dim_order: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
     """Draw θ ~ q(θ|x) autoregressively per dimension.
 
@@ -73,6 +83,13 @@ def autoregressive_sample(
     normal scores before encoding (TabPFN preprocessing-ensemble variant,
     SURVEY §2.4) — adaptive bar resolution for thin posterior modes; samples
     are mapped back and log-probs carry the Jacobian.
+
+    ``dim_order`` (a permutation of arange(dθ)) picks the AR factorization
+    order: step i conditions on x and the already-sampled dims order[:i] and
+    samples dim order[i]. Different orders are different (valid)
+    approximations of the same posterior — NPEPFN can ensemble over them
+    (num_order_ensembles), the analog of TabPFN's preprocessing ensembles
+    for the factorization axis.
     """
     n, dth = theta_ctx.shape
     q, dx = x_qry.shape
@@ -86,12 +103,12 @@ def autoregressive_sample(
 
     xc = jnp.zeros((n, f), theta_ctx.dtype)
     xc = xc.at[:, :dx].set(x_ctx).at[:, dx : dx + dth].set(theta_ctx)
-    col = jnp.arange(f)
+    order = jnp.arange(dth) if dim_order is None else jnp.asarray(dim_order)
+    prefix_masks = _order_prefix_masks(order, dx, f)
 
     def step(theta_sm, inp):
-        i, key = inp
-        feat_mask = col < dx + i
-        y_raw = jnp.take(theta_ctx, i, axis=1)
+        oi, feat_mask, key = inp
+        y_raw = jnp.take(theta_ctx, oi, axis=1)
         if target_transform == "quantile":
             qt = preprocessing.quantile_fit(y_raw, ctx_mask)
             y_ctx = preprocessing.quantile_forward(qt, y_raw)
@@ -109,11 +126,11 @@ def autoregressive_sample(
         if target_transform == "quantile":
             th_i = preprocessing.quantile_inverse(qt, th_i)
             lp_i = lp_i + preprocessing.quantile_log_det(qt, th_i)
-        return theta_sm.at[:, i].set(th_i), lp_i
+        return theta_sm.at[:, oi].set(th_i), lp_i
 
     keys = jax.random.split(rng, dth)
     theta0 = jnp.zeros((q, dth), x_qry.dtype)
-    theta, lps = jax.lax.scan(step, theta0, (jnp.arange(dth), keys))
+    theta, lps = jax.lax.scan(step, theta0, (order, prefix_masks, keys))
     return theta, jnp.sum(lps, axis=0)
 
 
@@ -127,11 +144,14 @@ def autoregressive_log_prob(
     theta_eval: Array,  # [Q, dθ]
     qry_chunk: int = 1024,
     target_transform: str = "zscore",
+    dim_order: Optional[Array] = None,
 ) -> Array:
     """Score log q(θ|x) autoregressively (reference npe_pfn.py:462-524).
     Like the reference, no truncation/leakage correction (npe_pfn.py:475).
     Densities are finite by construction (full-support bar distribution), so
-    the reference's -inf→log(eps) flooring (npe_pfn.py:153-158) is moot."""
+    the reference's -inf→log(eps) flooring (npe_pfn.py:153-158) is moot.
+    ``dim_order`` scores the factorization along that permutation (see
+    autoregressive_sample)."""
     n, dth = theta_ctx.shape
     q, dx = x_qry.shape
     f = model.cfg.max_features
@@ -141,12 +161,13 @@ def autoregressive_log_prob(
     xc = xc.at[:, :dx].set(x_ctx).at[:, dx : dx + dth].set(theta_ctx)
     xq_full = jnp.zeros((q, f), x_qry.dtype)
     xq_full = xq_full.at[:, :dx].set(x_qry).at[:, dx : dx + dth].set(theta_eval)
-    col = jnp.arange(f)
+    order = jnp.arange(dth) if dim_order is None else jnp.asarray(dim_order)
+    prefix_masks = _order_prefix_masks(order, dx, f)
 
-    def step(_, i):
-        feat_mask = col < dx + i
-        y_raw = jnp.take(theta_ctx, i, axis=1)
-        th_i = jnp.take(theta_eval, i, axis=1)
+    def step(_, inp):
+        oi, feat_mask = inp
+        y_raw = jnp.take(theta_ctx, oi, axis=1)
+        th_i = jnp.take(theta_eval, oi, axis=1)
         if target_transform == "quantile":
             qt = preprocessing.quantile_fit(y_raw, ctx_mask)
             y_ctx = preprocessing.quantile_forward(qt, y_raw)
@@ -163,7 +184,7 @@ def autoregressive_log_prob(
             lp_i = lp_i + preprocessing.quantile_log_det(qt, th_i)
         return None, lp_i
 
-    _, lps = jax.lax.scan(step, None, jnp.arange(dth))
+    _, lps = jax.lax.scan(step, None, (order, prefix_masks))
     return jnp.sum(lps, axis=0)
 
 
@@ -476,6 +497,7 @@ class NPEPFN:
         show_progress_bars: bool = False,
         x_shape: Optional[Tuple[int, ...]] = None,
         num_ensembles: int = 1,
+        num_order_ensembles: int = 1,
         target_transform: str = "zscore",
     ):
         if target_transform not in ("zscore", "quantile"):
@@ -500,6 +522,14 @@ class NPEPFN:
         self.show_progress_bars = show_progress_bars
         # TabPFN-style ensembling over context subsets (mixture of members).
         self.num_ensembles = int(num_ensembles)
+        # Ensembling over AR factorization orders (mixture over dim orders;
+        # the TabPFN preprocessing-ensemble analog for the factorization
+        # axis). Mutually exclusive with num_ensembles > 1 for now.
+        self.num_order_ensembles = int(num_order_ensembles)
+        if self.num_ensembles > 1 and self.num_order_ensembles > 1:
+            raise ValueError(
+                "num_ensembles and num_order_ensembles cannot both exceed 1"
+            )
         # Target preprocessing: "zscore" (plain) or "quantile" (normal-score
         # transform per θ-dimension — TabPFN preprocessing-ensemble variant).
         self.target_transform = target_transform
@@ -612,6 +642,19 @@ class NPEPFN:
 
     # -- sampling -------------------------------------------------------------
 
+    def _dim_orders(self, dth: int):
+        """Deterministic AR factorization orders for order-ensembling:
+        identity first, then seeded permutations — fixed across calls so
+        sample() and log_prob() mix the same set of factorizations."""
+        orders = [jnp.arange(dth)]
+        for k in range(1, self.num_order_ensembles):
+            orders.append(
+                jax.random.permutation(
+                    jax.random.fold_in(jax.random.PRNGKey(714), k), dth
+                )
+            )
+        return orders
+
     def _raw_sample(self, rng, x_o: Array, num: int, theta_ctx, x_ctx, ctx_mask):
         """One fixed-shape proposal draw of `num` samples for one obs."""
         q = _round_up(num, self.qry_chunk)
@@ -624,6 +667,25 @@ class NPEPFN:
                 self.model, tc, xc, cm, x_qry, rng, self.qry_chunk,
                 self.target_transform,
             )
+        elif self.num_order_ensembles > 1:
+            # Equal-weight mixture over AR factorization orders: each order
+            # samples its share of the draw; parts are interleaved so a
+            # trimmed tail stays balanced across orders. Per-row log-probs
+            # are the density under that row's own factorization.
+            orders = self._dim_orders(theta_ctx.shape[1])
+            per = _round_up(-(-num // len(orders)), self.qry_chunk)
+            xq = jnp.broadcast_to(x_o, (per, x_o.shape[-1]))
+            ts, ls = [], []
+            for k_i, od in enumerate(orders):
+                t, l = autoregressive_sample(
+                    self.model, theta_ctx, x_ctx, ctx_mask, xq,
+                    jax.random.fold_in(rng, k_i), self.qry_chunk,
+                    self.target_transform, dim_order=od,
+                )
+                ts.append(t)
+                ls.append(l)
+            theta = jnp.stack(ts, axis=1).reshape(-1, ts[0].shape[-1])
+            lp = jnp.stack(ls, axis=1).reshape(-1)
         else:
             theta, lp = autoregressive_sample(
                 self.model, theta_ctx, x_ctx, ctx_mask, x_qry, rng,
@@ -932,6 +994,20 @@ class NPEPFN:
                     lp = autoregressive_log_prob_ensemble(
                         self.model, tc, xc, cm, x_qry, theta_pad, self.qry_chunk,
                         self.target_transform,
+                    )
+                elif self.num_order_ensembles > 1:
+                    # Mixture density over factorization orders (matches the
+                    # order-ensembled sampler): logsumexp_k lp_k − log K.
+                    lps = jnp.stack([
+                        autoregressive_log_prob(
+                            self.model, theta_ctx, x_ctx, ctx_mask, x_qry,
+                            theta_pad, self.qry_chunk, self.target_transform,
+                            dim_order=od,
+                        )
+                        for od in self._dim_orders(theta_pad.shape[1])
+                    ])
+                    lp = jax.scipy.special.logsumexp(lps, axis=0) - math.log(
+                        lps.shape[0]
                     )
                 else:
                     lp = autoregressive_log_prob(

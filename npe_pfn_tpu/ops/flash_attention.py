@@ -92,7 +92,7 @@ def flash_row_attention(
     v: jnp.ndarray,  # [B, Lk, H, hd]
     kv_mask: jnp.ndarray,  # [Lk] shared or [B, Lk] per-batch row validity
     block_q: int = 256,
-    block_k: int = 512,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Softmax(q·kᵀ + mask)·v with online softmax; returns [B, Lq, H, hd].
@@ -253,13 +253,16 @@ def _flash_kernel_lse(
     def _finalize():
         l_fin = jnp.maximum(l_scratch[:, :1], 1e-30)
         out_ref[0] = (acc_scratch[:] / l_fin).astype(out_ref.dtype)
-        lse_ref[0, :] = (m_scratch[:, 0] + jnp.log(l_fin[:, 0])).astype(
-            lse_ref.dtype
-        )
+        # lse rides an [1, Bq, hd] block (lane-broadcast): a [1, Bq] block
+        # violates Mosaic's (8, 128) tiling rule on real TPUs — caught on
+        # hardware in round 3; interpret-mode tests don't enforce tiling.
+        lse_ref[0] = jnp.broadcast_to(
+            m_scratch[:, :1] + jnp.log(l_fin), lse_ref.shape[1:]
+        ).astype(lse_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
-def _flash_fwd_lse(q, k, v, kv_mask, block_q=256, block_k=512, interpret=False):
+def _flash_fwd_lse(q, k, v, kv_mask, block_q=256, block_k=1024, interpret=False):
     """Like flash_row_attention but also returns lse [B, H, Lq]."""
     b, lq, h, hd = q.shape
     lk = k.shape[1]
@@ -303,12 +306,12 @@ def _flash_fwd_lse(q, k, v, kv_mask, block_q=256, block_k=512, interpret=False):
         out_specs=[
             pl.BlockSpec((1, block_q, hd), lambda i, iq, ik: (i, iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda i, iq, ik: (i, iq),
+            pl.BlockSpec((1, block_q, hd), lambda i, iq, ik: (i, iq, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b * h, lq_p, hd), q.dtype),
-            jax.ShapeDtypeStruct((b * h, lq_p), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, lq_p, hd), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -318,20 +321,23 @@ def _flash_fwd_lse(q, k, v, kv_mask, block_q=256, block_k=512, interpret=False):
         interpret=interpret,
     )(qf, kf, vf, mask_f)
     out = jnp.swapaxes(out.reshape(b, h, lq_p, hd), 1, 2)[:, :lq]
-    lse = lse.reshape(b, h, lq_p)[:, :, :lq]
+    lse = lse[..., 0].reshape(b, h, lq_p)[:, :, :lq]
     return out * _any_valid_gate(kv_mask, out.dtype), lse
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def flash_row_attention_trainable(
-    q, k, v, kv_mask, block_q: int = 256, block_k: int = 512,
+    q, k, v, kv_mask, block_q: int = 256, block_k: int = 1024,
     interpret: bool = False,
 ):
     """Differentiable flash attention: Pallas forward, chunked-XLA backward.
     Same contract as flash_row_attention; safe under jax.grad / remat, so
-    long-context pretraining can dispatch to it (cfg.flash='auto')."""
-    out, _ = _flash_fwd_lse(q, k, v, kv_mask, block_q, block_k, interpret)
-    return out
+    long-context pretraining can dispatch to it (cfg.flash='auto').
+
+    The undifferentiated primal routes to the plain forward kernel — the
+    lse side-output is only materialized under jax.grad (_trainable_fwd),
+    so inference through the 'auto'/'on' dispatch pays nothing extra."""
+    return flash_row_attention(q, k, v, kv_mask, block_q, block_k, interpret)
 
 
 def _trainable_fwd(q, k, v, kv_mask, block_q, block_k, interpret):

@@ -176,8 +176,10 @@ def train(
     base_rng = jax.random.PRNGKey(tcfg.seed)
     # Separate init key from the data-stream base: reusing one key for both
     # parameter init and the per-step fold_in stream correlates the first
-    # task batch with the init draw (advisor finding, round 2).
-    init_rng = jax.random.fold_in(base_rng, -1)
+    # task batch with the init draw (advisor finding, round 2). The sentinel
+    # must be a valid uint32 that no step index reaches (fold_in rejects
+    # negative data).
+    init_rng = jax.random.fold_in(base_rng, 0x7FFFFFFF)
     model = TabICAModel.create(init_rng, cfg)
     params = model.params
     state_path = ckpt_path + ".train_state.npz"

@@ -32,12 +32,16 @@ def score(bundle: dict):
     # emit quantile-variant rows, and letting a candidate win on a best-of-4
     # vs the incumbent's best-of-2 would flip DEFAULT on a configuration the
     # shipped estimator doesn't use by default (advisor finding, round 2).
-    tm = [r["c2st_vs_exact"] for r in bundle.get("two_moons", [])
-          if r.get("target_transform", "zscore") == "zscore"]
+    def served(r):
+        return (
+            r.get("target_transform", "zscore") == "zscore"
+            and r.get("order_ensembles", 1) == 1
+        )
+
+    tm = [r["c2st_vs_exact"] for r in bundle.get("two_moons", []) if served(r)]
     if tm:
         parts["two_moons"] = min(tm)
-    sl = [r["c2st_vs_mcmc"] for r in bundle.get("slcp", [])
-          if r.get("target_transform", "zscore") == "zscore"]
+    sl = [r["c2st_vs_mcmc"] for r in bundle.get("slcp", []) if served(r)]
     if sl:
         parts["slcp"] = min(sl)
     return parts

@@ -116,6 +116,21 @@ def sec_two_moons(ctx):
                    "c2st_vs_exact": round(c, 4), "mode_balance": round(bal, 3)}
             OUT.setdefault("two_moons", []).append(rec)
             print(json.dumps(rec), flush=True)
+        # AR factorization-order ensembling variant (order_ensembles key
+        # keeps these rows out of the zscore-only checkpoint gate).
+        est_oe = npt.NPEPFN(prior=tm.prior, filter_context_size=ctx_size,
+                            qry_chunk=1024, num_order_ensembles=2)
+        est_oe.append_simulations(th_tm, x_tm)
+        post = est_oe.sample(1024, x_o, rng=jax.random.PRNGKey(82), max_iters=2)
+        c = float(metrics.c2st(jax.random.PRNGKey(83), post, gt))
+        s = np.asarray(post)
+        bal = float(min((s[:, 0] + s[:, 1] > 0).mean(),
+                        1 - (s[:, 0] + s[:, 1] > 0).mean()))
+        rec = {"n_sims": n_sims, "context": ctx_size, "target_transform": "zscore",
+               "order_ensembles": 2, "c2st_vs_exact": round(c, 4),
+               "mode_balance": round(bal, 3)}
+        OUT.setdefault("two_moons", []).append(rec)
+        print(json.dumps(rec), flush=True)
     ctx["tm"], ctx["tm_x_o"], ctx["tm_gt"] = tm, x_o, gt
 
 
@@ -139,6 +154,15 @@ def sec_slcp(ctx):
                    "c2st_vs_mcmc": round(c, 4)}
             OUT.setdefault("slcp", []).append(rec)
             print(json.dumps(rec), flush=True)
+        est_oe = npt.NPEPFN(prior=sl.prior, filter_context_size=1024,
+                            qry_chunk=1024, num_order_ensembles=2)
+        est_oe.append_simulations(th_s, x_s)
+        post = est_oe.sample(1024, x_sl, rng=jax.random.PRNGKey(90), max_iters=2)
+        c = float(metrics.c2st(jax.random.PRNGKey(91), post, gt_sl))
+        rec = {"n_sims": n_sims, "target_transform": "zscore",
+               "order_ensembles": 2, "c2st_vs_mcmc": round(c, 4)}
+        OUT.setdefault("slcp", []).append(rec)
+        print(json.dumps(rec), flush=True)
 
 
 def sec_serving(ctx):
@@ -240,7 +264,15 @@ def sec_tsnpe(ctx):
     import jax
 
     npt, metrics = ctx["npt"], ctx["metrics"]
-    tm, x_o, gt = ctx["tm"], ctx["tm_x_o"], ctx["tm_gt"]
+    # Self-sufficient: rebuild the task state if sec_two_moons died before
+    # populating ctx (per-section isolation means we must not depend on it).
+    if "tm" not in ctx:
+        jnp = ctx["jnp"]
+        tm = npt.tasks.get_task("two_moons")
+        x_o = tm.simulator(jax.random.PRNGKey(99), jnp.array([0.3, -0.4]))
+        gt = tm.posterior_sampler(jax.random.PRNGKey(80), x_o, 1024)
+    else:
+        tm, x_o, gt = ctx["tm"], ctx["tm_x_o"], ctx["tm_gt"]
     for tt in ("zscore", "quantile"):
         t0 = time.perf_counter()
         est_seq = npt.run_tsnpe(

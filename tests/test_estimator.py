@@ -70,6 +70,65 @@ def test_sample_and_log_prob(model, sims):
     assert np.all(np.isfinite(np.asarray(lp)))
 
 
+def test_dim_order_identity_matches_default(model, sims):
+    """dim_order=arange must reproduce the default factorization exactly."""
+    theta, x = sims
+    theta_ctx, x_ctx = theta[:64], x[:64]
+    mask = jnp.ones(64, bool)
+    xq = jnp.broadcast_to(x[0], (32, DIM_X))
+    out0, lp0 = autoregressive_sample(
+        model, theta_ctx, x_ctx, mask, xq, jax.random.PRNGKey(3), 32
+    )
+    out1, lp1 = autoregressive_sample(
+        model, theta_ctx, x_ctx, mask, xq, jax.random.PRNGKey(3), 32,
+        dim_order=jnp.arange(DIM_THETA),
+    )
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(out1))
+    np.testing.assert_array_equal(np.asarray(lp0), np.asarray(lp1))
+    s0 = autoregressive_log_prob(model, theta_ctx, x_ctx, mask, xq, out0, 32)
+    s1 = autoregressive_log_prob(
+        model, theta_ctx, x_ctx, mask, xq, out0, 32,
+        dim_order=jnp.arange(DIM_THETA),
+    )
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+
+
+def test_dim_order_permutation_valid(model, sims):
+    """A permuted factorization produces finite samples/scores, and its
+    conditioning structure differs from the identity order's (different
+    factorization ⇒ generally different per-row densities)."""
+    theta, x = sims
+    theta_ctx, x_ctx = theta[:64], x[:64]
+    mask = jnp.ones(64, bool)
+    xq = jnp.broadcast_to(x[0], (32, DIM_X))
+    perm = jnp.array([1, 0])
+    out, lp = autoregressive_sample(
+        model, theta_ctx, x_ctx, mask, xq, jax.random.PRNGKey(4), 32,
+        dim_order=perm,
+    )
+    assert np.all(np.isfinite(np.asarray(out)))
+    s_perm = autoregressive_log_prob(
+        model, theta_ctx, x_ctx, mask, xq, out, 32, dim_order=perm
+    )
+    s_id = autoregressive_log_prob(model, theta_ctx, x_ctx, mask, xq, out, 32)
+    assert np.all(np.isfinite(np.asarray(s_perm)))
+    assert not np.allclose(np.asarray(s_perm), np.asarray(s_id))
+
+
+def test_order_ensemble_estimator(model, sims):
+    """num_order_ensembles: sampling interleaves orders, log_prob mixes
+    densities; shapes/finiteness plus determinism across calls."""
+    est = make_estimator(model, sims, num_order_ensembles=2)
+    x_o = sims[1][0]
+    s = est.sample(48, x_o, rng=jax.random.PRNGKey(5))
+    assert s.shape == (48, DIM_THETA)
+    assert np.all(np.isfinite(np.asarray(s)))
+    lp = est.log_prob(s, x_o, mode="autoregressive")
+    assert lp.shape == (48,) and np.all(np.isfinite(np.asarray(lp)))
+    with pytest.raises(ValueError):
+        make_estimator(model, sims, num_ensembles=2, num_order_ensembles=2)
+
+
 def test_sample_rejects_batched_x(model, sims):
     """sample() takes one observation (reference xfail spec,
     tests/test_npe_pfn.py:26-36 ↔ npe_pfn.py:278-282)."""
