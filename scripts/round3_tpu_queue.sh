@@ -36,22 +36,30 @@ No-Verification-Needed: measurement artifacts only"
 
 echo "[queue] evaluating checkpoint $CKPT"
 
-# 1. Quality + perf bundle for the v2 candidate, then the v1-vs-v2 quality
-#    gate (zscore-config-only comparison): DEFAULT points at the winner and
-#    every later stage serves it.
+# 1. Quality + perf bundles, then the quality gate (served-config-only
+#    comparison): DEFAULT points at the winner and every later stage serves
+#    it. Three-way: v1 incumbent, v2 best-val, v2 final (end of the cosine
+#    tail — val NLL alone must not decide the shipped checkpoint).
 NPE_PFN_TPU_CHECKPOINT="$CKPT" bash scripts/run_with_watchdog.sh \
     /tmp/bundle_v2.log 1500 7200 -- python scripts/tpu_eval_bundle.py \
     --out=results/tpu_eval_v2.json
 tail -5 /tmp/bundle_v2.log
-python scripts/select_checkpoint.py \
-    "results/tpu_eval_v1.json=tabica_v1.npz" \
-    "results/tpu_eval_v2.json=$(basename "$CKPT")" | tee results/select_checkpoint.log
-WINNER=$(cat checkpoints/DEFAULT 2>/dev/null || echo tabica_v1.npz)
-if [ "$WINNER" = "$(basename "$CKPT")" ]; then
-    cp results/tpu_eval_v2.json results/tpu_eval.json
-else
-    cp results/tpu_eval_v1.json results/tpu_eval.json
+SELECT_ARGS=("results/tpu_eval_v1.json=tabica_v1.npz"
+             "results/tpu_eval_v2.json=$(basename "$CKPT")")
+if [ "$CKPT" != "checkpoints/tabica_v2.npz" ] && [ -f checkpoints/tabica_v2.npz ]; then
+    NPE_PFN_TPU_CHECKPOINT=checkpoints/tabica_v2.npz bash scripts/run_with_watchdog.sh \
+        /tmp/bundle_v2f.log 1500 7200 -- python scripts/tpu_eval_bundle.py \
+        --out=results/tpu_eval_v2final.json
+    tail -3 /tmp/bundle_v2f.log
+    SELECT_ARGS+=("results/tpu_eval_v2final.json=tabica_v2.npz")
 fi
+python scripts/select_checkpoint.py "${SELECT_ARGS[@]}" | tee results/select_checkpoint.log
+WINNER=$(cat checkpoints/DEFAULT 2>/dev/null || echo tabica_v1.npz)
+case "$WINNER" in
+    "$(basename "$CKPT")") cp results/tpu_eval_v2.json results/tpu_eval.json ;;
+    tabica_v2.npz) cp results/tpu_eval_v2final.json results/tpu_eval.json ;;
+    *) cp results/tpu_eval_v1.json results/tpu_eval.json ;;
+esac
 echo "[queue] running remaining stages on winner: $WINNER"
 commit_results "TPU bundle for v2 candidate + quality-gate selection (round 3)"
 
