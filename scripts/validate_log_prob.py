@@ -79,62 +79,74 @@ def main():
     records = []
     ckpt_name = os.path.normpath(checkpoint.default_checkpoint_path())
     for task_name in args.tasks:
-        task = npt.tasks.get_task(task_name)
-        assert task.posterior_log_prob is not None, task_name
-        theta, x = task.simulate(jax.random.PRNGKey(0), args.num_train)
-        for j in range(args.num_obs):
-            x_o = x[j]
-            k = jax.random.PRNGKey(100 + j)
-            k_post, k_wide, k_ar, k_ratio = jax.random.split(k, 4)
-            th_post = task.posterior_sampler(k_post, x_o, args.num_eval)
-            # Widened cloud: double the spread around the posterior mean
-            # so the comparison also covers low-density tails.
-            mean = th_post.mean(0)
-            th_wide = mean + 2.0 * (
-                task.posterior_sampler(k_wide, x_o, args.num_eval // 4) - mean
-            )
-            th = jnp.concatenate([th_post, th_wide], axis=0)
-            exact = task.posterior_log_prob(x_o, th)
-
-            # AR is independent of the ratio-classifier config: score once.
-            est = npt.NPEPFN(
-                prior=task.prior, model=model, qry_chunk=args.qry_chunk
-            )
-            est.append_simulations(theta, x)
-            rec = {
-                "task": task_name, "obs": j, "mode": "autoregressive",
-                "num_train": args.num_train, "checkpoint": ckpt_name,
-                **compare(est.log_prob(th, x_o, rng=k_ar, mode="autoregressive"),
-                          exact),
-            }
+        try:
+            _run_task(args, task_name, model, ckpt_name, records, npt, jax,
+                      jnp, checkpoint, compare)
+        except Exception as e:  # per-task isolation: one bad task ≠ no artifact
+            rec = {"task": task_name, "error": f"{type(e).__name__}: {e}"}
             records.append(rec)
             print(json.dumps(rec), flush=True)
-
-            for rcs in args.ratio_context_sizes:
-                for nf in args.ratio_fits:
-                    est = npt.NPEPFN(
-                        prior=task.prior, model=model, qry_chunk=args.qry_chunk,
-                        ratio_context_size=rcs, num_ratio_fits=nf,
-                    )
-                    est.append_simulations(theta, x)
-                    lp_ratio = est.log_prob(
-                        th, x_o, rng=k_ratio, mode="ratio_based",
-                        num_ratio_samples=args.num_ratio_samples,
-                    )
-                    rec = {
-                        "task": task_name, "obs": j, "mode": "ratio_based",
-                        "ratio_context_size": rcs, "num_ratio_fits": nf,
-                        "num_train": args.num_train, "checkpoint": ckpt_name,
-                        **compare(lp_ratio, exact),
-                    }
-                    records.append(rec)
-                    print(json.dumps(rec), flush=True)
+        if args.out:
+            os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+            with open(args.out, "w") as f:
+                json.dump(records, f, indent=1)
 
     if args.out:
-        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-        with open(args.out, "w") as f:
-            json.dump(records, f, indent=1)
         print(f"wrote {args.out}")
+
+
+def _run_task(args, task_name, model, ckpt_name, records, npt, jax, jnp,
+              checkpoint, compare):
+    task = npt.tasks.get_task(task_name)
+    assert task.posterior_log_prob is not None, task_name
+    theta, x = task.simulate(jax.random.PRNGKey(0), args.num_train)
+    for j in range(args.num_obs):
+        x_o = x[j]
+        k = jax.random.PRNGKey(100 + j)
+        k_post, k_wide, k_ar, k_ratio = jax.random.split(k, 4)
+        th_post = task.posterior_sampler(k_post, x_o, args.num_eval)
+        # Widened cloud: double the spread around the posterior mean
+        # so the comparison also covers low-density tails.
+        mean = th_post.mean(0)
+        th_wide = mean + 2.0 * (
+            task.posterior_sampler(k_wide, x_o, args.num_eval // 4) - mean
+        )
+        th = jnp.concatenate([th_post, th_wide], axis=0)
+        exact = task.posterior_log_prob(x_o, th)
+
+        # AR is independent of the ratio-classifier config: score once.
+        est = npt.NPEPFN(
+            prior=task.prior, model=model, qry_chunk=args.qry_chunk
+        )
+        est.append_simulations(theta, x)
+        rec = {
+            "task": task_name, "obs": j, "mode": "autoregressive",
+            "num_train": args.num_train, "checkpoint": ckpt_name,
+            **compare(est.log_prob(th, x_o, rng=k_ar, mode="autoregressive"),
+                      exact),
+        }
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+
+        for rcs in args.ratio_context_sizes:
+            for nf in args.ratio_fits:
+                est = npt.NPEPFN(
+                    prior=task.prior, model=model, qry_chunk=args.qry_chunk,
+                    ratio_context_size=rcs, num_ratio_fits=nf,
+                )
+                est.append_simulations(theta, x)
+                lp_ratio = est.log_prob(
+                    th, x_o, rng=k_ratio, mode="ratio_based",
+                    num_ratio_samples=args.num_ratio_samples,
+                )
+                rec = {
+                    "task": task_name, "obs": j, "mode": "ratio_based",
+                    "ratio_context_size": rcs, "num_ratio_fits": nf,
+                    "num_train": args.num_train, "checkpoint": ckpt_name,
+                    **compare(lp_ratio, exact),
+                }
+                records.append(rec)
+                print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
