@@ -480,7 +480,7 @@ class NPEPFN:
         prior: Optional[Distribution] = None,
         model: Optional[TabICAModel] = None,
         filter_type: Union[str, Callable] = "standardized_euclidean_filtering",
-        filter_context_size: int = 512,
+        filter_context_size: int = 2048,
         embedding_net: Optional[Callable[[Array], Array]] = None,
         # Default differs from the reference (npe_pfn.py:425 ratio_based) by
         # design: the reference preferred the ratio classifier because its
@@ -604,6 +604,18 @@ class NPEPFN:
     def num_simulations(self) -> int:
         return 0 if self._theta_train is None else int(self._theta_train.shape[0])
 
+    @property
+    def _effective_context_size(self) -> int:
+        """filter_context_size clamped to the (256-granule-padded) dataset
+        size: filters pad to a FIXED shape, so without the clamp a large
+        default makes small datasets pay encode cost for all-padding rows.
+        The 256 granule keeps shapes static per dataset-size bucket.
+        Large defaults are justified by the measured length-generalization
+        curve (results/length_generalization.jsonl: C2ST improves
+        monotonically to 8192 rows)."""
+        n = self._theta_train.shape[0]
+        return min(self.filter_context_size, _round_up(n, 256))
+
     def get_context(self, x_o: Array, rng: Optional[jax.Array] = None):
         """Per-observation filtered, padded context (npe_pfn.py:739-744)."""
         if self._theta_train is None:
@@ -612,7 +624,7 @@ class NPEPFN:
             x_o,
             self._theta_train,
             self._x_train,
-            self.filter_context_size,
+            self._effective_context_size,
             rng=self._next_rng(rng),
         )
 
@@ -811,7 +823,7 @@ class NPEPFN:
         # rather than silently truncating to the oldest rows.
         rng, ctx_rng = jax.random.split(rng)
         ctx = filters_mod.random_filtering(
-            None, self._theta_train, self._x_train, self.filter_context_size,
+            None, self._theta_train, self._x_train, self._effective_context_size,
             rng=ctx_rng,
         )
 
@@ -1049,7 +1061,7 @@ class NPEPFN:
         rng = self._next_rng(rng)
         rng, ctx_rng = jax.random.split(rng)
         theta_ctx, x_ctx, ctx_mask = filters_mod.random_filtering(
-            None, self._theta_train, self._x_train, self.filter_context_size,
+            None, self._theta_train, self._x_train, self._effective_context_size,
             rng=ctx_rng,
         )
         x_rows = jnp.repeat(x, s, axis=0)
