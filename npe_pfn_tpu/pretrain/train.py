@@ -143,16 +143,27 @@ def train_step(
     return params, opt_state, loss, gnorm
 
 
-@partial(jax.jit, static_argnums=(0, 2))
+@partial(jax.jit, static_argnums=(0, 2, 5))
 def eval_step(
     cfg: TabICAConfig,
     params: Any,
     pcfg: prior.PriorConfig,
     borders: jnp.ndarray,
     rng: jax.Array,
+    num_batches: int = 4,
 ) -> jnp.ndarray:
-    batch = prior.sample_tasks(rng, 32, pcfg)
-    return batch_loss(cfg, borders, params, batch, remat=False)
+    """Validation NLL averaged over ``num_batches`` fixed 32-task batches.
+    A single batch bounced 0.08-0.25 across a converged run (round 3), so
+    best-val selection locked onto noise dips; averaging tightens it. The
+    batches are keyed by fold_in(rng, i) — the old single-batch val equals
+    num_batches=1 with the same rng (not fold_in), so historical best-val
+    metas are NOT comparable: reset them when adopting this."""
+
+    def one(i):
+        batch = prior.sample_tasks(jax.random.fold_in(rng, i), 32, pcfg)
+        return batch_loss(cfg, borders, params, batch, remat=False)
+
+    return jnp.mean(jax.lax.map(one, jnp.arange(num_batches)))
 
 
 def train(
