@@ -231,10 +231,17 @@ def train(
 
     while step < tcfg.max_steps:
         if profile_steps and not profile_started and step >= 1:
-            jax.profiler.start_trace(profile_dir)
+            # Non-fatal: on the remote-TPU runtime the profiler may be
+            # unsupported; a raised/stuck trace must not turn the watchdog
+            # into a restart loop (profiling is diagnostics, not training).
             profile_started = True
-            profile_stop_at = step + profile_steps
-            print(f"[pretrain] profiling {profile_steps} steps -> {profile_dir}")
+            try:
+                jax.profiler.start_trace(profile_dir)
+                profile_stop_at = step + profile_steps
+                print(f"[pretrain] profiling {profile_steps} steps -> {profile_dir}")
+            except Exception as e:
+                profile_stop_at = None
+                print(f"[pretrain] profiling unavailable: {type(e).__name__}: {e}")
         # Per-step rng derived from the step index, not a sequential split
         # chain: a watchdog restart resuming at step k continues the task
         # stream at position k instead of replaying tasks 1..k.
@@ -257,10 +264,13 @@ def train(
         loss_acc += float(loss)
         n_acc += 1
         if profile_started and profile_stop_at is not None and step >= profile_stop_at:
-            jax.block_until_ready(loss)
-            jax.profiler.stop_trace()
             profile_stop_at = None
-            print(f"[pretrain] profile written to {profile_dir}")
+            try:
+                jax.block_until_ready(loss)
+                jax.profiler.stop_trace()
+                print(f"[pretrain] profile written to {profile_dir}")
+            except Exception as e:
+                print(f"[pretrain] profile stop failed: {type(e).__name__}: {e}")
         if step == 1 or (step < tcfg.log_every and step % 10 == 0):
             print(
                 f"[pretrain] step {step} loss {loss_acc / n_acc:.4f} "
