@@ -127,15 +127,21 @@ def evaluate_task(
                     # image part + plain θ dims (the reference's embedding-
                     # aware CNN classifiers, evaluate_ropefm_batched.py:
                     # 118-304, 668-711).
+                    # paired: both joint rows share the same x_i — group
+                    # folds, or the classifier memorizes x labels and scores
+                    # below chance on good posteriors (round-3 finding).
                     cell["c2st"] = float(
                         M.c2st_conv(
                             k_metric, joint_est[:n], joint_true[:n],
                             shape=tuple(task.x_image_shape),
                             d_extra=task.dim_theta,
+                            paired=True,
                         )
                     )
                 else:
-                    cell["c2st"] = float(M.c2st(k_metric, joint_est[:n], joint_true[:n]))
+                    cell["c2st"] = float(
+                        M.c2st(k_metric, joint_est[:n], joint_true[:n], paired=True)
+                    )
                 cell["wasserstein"] = float(M.sinkhorn_w2(post[:n], theta_test[:n]))
                 cell["mmd"] = float(M.mmd(post[:n], theta_test[:n]))
             cell["wall_s"] = time.time() - t0

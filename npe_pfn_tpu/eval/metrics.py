@@ -61,7 +61,7 @@ def c2st_embedded(rng, a, b, embed_fn, **kwargs):
     return c2st(rng, jnp.asarray(embed_fn(a)), jnp.asarray(embed_fn(b)), **kwargs)
 
 
-@partial(jax.jit, static_argnames=("folds", "epochs", "hidden"))
+@partial(jax.jit, static_argnames=("folds", "epochs", "hidden", "paired"))
 def c2st(
     rng: jax.Array,
     a: jnp.ndarray,
@@ -70,26 +70,42 @@ def c2st(
     epochs: int = 300,
     hidden: int = 64,
     lr: float = 1e-2,
+    paired: bool = False,
 ) -> jnp.ndarray:
     """Classifier two-sample test accuracy in [0.5, 1]; 0.5 = indistinguishable.
 
     Matches the reference's protocol shape (5-fold CV MLP classifier,
     evaluate_ropefm.py:119-280) with the folds vmapped on device.
     a, b: [n, d] equal-size sample sets.
+
+    ``paired=True``: rows a[i] and b[i] share identifying features (the
+    joint diagnostic {(θ̂, x_i)} vs {(θ*, x_i)} duplicates every x_i with
+    opposite labels). Plain row-level folds then reward memorizing x_i's
+    train-fold label, which is systematically WRONG for the partner copy in
+    the test fold — held-out accuracy collapses below chance (seen at 0.27
+    on near-perfect posteriors). Group folds put both copies of a pair in
+    the same fold, restoring accuracy ≈ 0.5 for indistinguishable θ.
     """
     n = min(a.shape[0], b.shape[0])
     n = (n // folds) * folds
     a, b = _standardize(a[:n], b[:n])
-    x = jnp.concatenate([a, b], axis=0)
-    y = jnp.concatenate([jnp.zeros(n), jnp.ones(n)])
     perm_rng, rng = jax.random.split(rng)  # independent of the fold keys
-    perm = jax.random.permutation(perm_rng, 2 * n)
-    x, y = x[perm], y[perm]
-    fold_size = (2 * n) // folds
-    idx = jnp.arange(2 * n)
+    if paired:
+        perm = jax.random.permutation(perm_rng, n)
+        x = jnp.concatenate([a[perm], b[perm]], axis=0)
+        y = jnp.concatenate([jnp.zeros(n), jnp.ones(n)])
+        pos = jnp.concatenate([jnp.arange(n), jnp.arange(n)])  # pair id
+        fold_size = n // folds
+    else:
+        x = jnp.concatenate([a, b], axis=0)
+        y = jnp.concatenate([jnp.zeros(n), jnp.ones(n)])
+        perm = jax.random.permutation(perm_rng, 2 * n)
+        x, y = x[perm], y[perm]
+        pos = jnp.arange(2 * n)
+        fold_size = (2 * n) // folds
 
     def run_fold(fold, key):
-        test_mask = (idx >= fold * fold_size) & (idx < (fold + 1) * fold_size)
+        test_mask = (pos >= fold * fold_size) & (pos < (fold + 1) * fold_size)
         train_w = (~test_mask).astype(jnp.float32)
         params = _mlp_init(key, x.shape[1], hidden)
 
@@ -166,7 +182,7 @@ def _conv_trunk_apply(p, x, shape):
     return jnp.concatenate([jnp.mean(h, spatial), jnp.max(h, spatial)], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("shape", "d_extra", "folds", "epochs", "channels", "hidden"))
+@partial(jax.jit, static_argnames=("shape", "d_extra", "folds", "epochs", "channels", "hidden", "paired"))
 def c2st_conv(
     rng: jax.Array,
     a: jnp.ndarray,
@@ -178,29 +194,39 @@ def c2st_conv(
     channels: int = 8,
     hidden: int = 64,
     lr: float = 2e-3,
+    paired: bool = False,
 ) -> jnp.ndarray:
     """C2ST with a TRAINED conv discriminator for image-shaped samples.
 
     a, b: [n, d_extra + prod(shape)] — the first d_extra columns are plain
     dims (θ in joint tests), the rest a flattened image of `shape`
     ((L,) → 1D convs, (H, W) → 2D convs). Returns accuracy in [0.5, 1].
+    ``paired`` groups a[i]/b[i] into the same fold (see c2st — required for
+    the joint diagnostic where both rows share the same x).
     """
     import optax
 
     n = min(a.shape[0], b.shape[0])
     n = (n // folds) * folds
     a, b = _standardize(a[:n], b[:n])
-    x = jnp.concatenate([a, b], axis=0)
-    y = jnp.concatenate([jnp.zeros(n), jnp.ones(n)])
     perm_rng, rng = jax.random.split(rng)
-    perm = jax.random.permutation(perm_rng, 2 * n)
-    x, y = x[perm], y[perm]
+    if paired:
+        perm = jax.random.permutation(perm_rng, n)
+        x = jnp.concatenate([a[perm], b[perm]], axis=0)
+        y = jnp.concatenate([jnp.zeros(n), jnp.ones(n)])
+        pos = jnp.concatenate([jnp.arange(n), jnp.arange(n)])
+        fold_size = n // folds
+    else:
+        x = jnp.concatenate([a, b], axis=0)
+        y = jnp.concatenate([jnp.zeros(n), jnp.ones(n)])
+        perm = jax.random.permutation(perm_rng, 2 * n)
+        x, y = x[perm], y[perm]
+        pos = jnp.arange(2 * n)
+        fold_size = (2 * n) // folds
     x_extra, x_img = x[:, :d_extra], x[:, d_extra:]
-    fold_size = (2 * n) // folds
-    idx = jnp.arange(2 * n)
 
     def run_fold(fold, key):
-        test_mask = (idx >= fold * fold_size) & (idx < (fold + 1) * fold_size)
+        test_mask = (pos >= fold * fold_size) & (pos < (fold + 1) * fold_size)
         train_w = (~test_mask).astype(jnp.float32)
         k1, k2 = jax.random.split(key)
         feat_dim = 4 * channels + d_extra

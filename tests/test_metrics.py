@@ -27,6 +27,29 @@ def test_c2st_null_and_signal(samples):
 
 
 @pytest.mark.fast
+def test_c2st_paired_joint_diagnostic():
+    """Joint diagnostic {(θ̂, x)} vs {(θ*, x)}: every x appears in both
+    classes. With row-level folds the classifier memorizes x's train label
+    and scores BELOW chance on the partner copy (the round-3 grid artifact:
+    wind_tunnel joint C2ST 0.24 on a good posterior); group-paired folds
+    restore ≈0.5 for indistinguishable θ and keep full power for distinct θ."""
+    k = jax.random.PRNGKey(7)
+    k1, k2, k3, k4 = jax.random.split(k, 4)
+    n = 400
+    x = jax.random.normal(k1, (n, 4))
+    th_a = jax.random.normal(k2, (n, 2))
+    th_b = jax.random.normal(k3, (n, 2))  # same distribution as th_a
+    a = jnp.concatenate([th_a, x], axis=1)
+    b = jnp.concatenate([th_b, x], axis=1)
+    plain = float(metrics.c2st(k4, a, b))
+    paired = float(metrics.c2st(k4, a, b, paired=True))
+    assert plain < 0.45, plain  # demonstrates the pathology
+    assert 0.4 < paired < 0.6, paired
+    # distinguishable θ must still be detected under paired folds
+    b_shift = jnp.concatenate([th_b + 3.0, x], axis=1)
+    assert float(metrics.c2st(k4, a, b_shift, paired=True)) > 0.9
+
+
 def test_mmd_null_and_signal(samples):
     a, b, c = samples
     for kernel in ("multiscale", "rbf"):
