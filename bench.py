@@ -12,18 +12,85 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import argparse
 import json
+import os
 import sys
 import time
 
 
+def clear_tpu_chip():
+    """Yield the single TPU chip from a live pretraining watchdog.
+
+    Only one process may claim the remote TPU at a time (concurrent claims
+    die with FAILED_PRECONDITION). If `scripts/pretrain_watchdog.sh` is
+    running (pidfile /tmp/pretrain.pid), pause the watchdog with SIGSTOP,
+    terminate its trainer child by explicit PID (never pattern matching),
+    and wait for the chip to be released. On exit — normal or signal — the
+    watchdog is SIGCONTed; its retry loop relaunches the trainer, which
+    resumes from the atomic checkpoint (npe_pfn_tpu/pretrain/train.py:206).
+    """
+    import atexit
+    import signal
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return  # CPU run — no chip contention
+    pidfile = os.environ.get("PRETRAIN_PIDFILE", "/tmp/pretrain.pid")
+    try:
+        watchdog = int(open(pidfile).read().strip())
+        os.kill(watchdog, 0)
+    except (OSError, ValueError):
+        return  # no live watchdog
+
+    os.kill(watchdog, signal.SIGSTOP)
+
+    def _resume(*_args):
+        try:
+            os.kill(watchdog, signal.SIGCONT)
+        except OSError:
+            pass
+
+    atexit.register(_resume)
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        prev = signal.getsignal(sig)
+
+        def _handler(signum, frame, _prev=prev):
+            _resume()
+            if callable(_prev):
+                _prev(signum, frame)
+            else:
+                raise SystemExit(128 + signum)
+
+        signal.signal(sig, _handler)
+
+    kids = subprocess.run(
+        ["ps", "-o", "pid=", "--ppid", str(watchdog)],
+        capture_output=True, text=True,
+    ).stdout.split()
+    for kid in kids:
+        try:
+            os.kill(int(kid), signal.SIGTERM)
+        except (OSError, ValueError):
+            pass
+    time.sleep(8)
+    for kid in kids:
+        try:
+            os.kill(int(kid), signal.SIGKILL)
+        except (OSError, ValueError):
+            pass
+    print(f"[bench] paused pretrain watchdog {watchdog}, "
+          f"stopped trainer {kids}; waiting for chip release", file=sys.stderr)
+    time.sleep(30)
+
+
 def main():
-    import os
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None,
                     help="also write the JSON record to this file (keeps the "
                     "committed artifact clean of log lines on stdout)")
     args = ap.parse_args()
+
+    clear_tpu_chip()
 
     import jax
     import jax.numpy as jnp
