@@ -57,6 +57,11 @@ def main():
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler trace over this many steps")
     p.add_argument("--profile_dir", default="/tmp/npe_pfn_tpu_pretrain_trace")
+    p.add_argument("--flash", choices=["auto", "on", "off"], default="auto",
+                   help="row-attention flash mode; 'auto' uses the dense path "
+                   "below 2048 context rows, which profiling showed is "
+                   "HBM-bound at pretraining shapes (scripts/"
+                   "profile_train_step.py) — pass 'on' for the Pallas kernel")
     args = p.parse_args()
 
     cfg = TabICAConfig(
@@ -65,6 +70,7 @@ def main():
         num_layers=args.num_layers,
         max_features=args.max_features,
         num_bars=args.num_bars,
+        flash=args.flash,
     )
     tcfg = train.TrainConfig(
         num_datasets=args.num_datasets,
