@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--num_qry", type=int, default=128)
     ap.add_argument("--num_bars", type=int, default=1024)
     ap.add_argument("--d_model", type=int, default=128)
+    ap.add_argument("--num_heads", type=int, default=4,
+                    help="row-attention score traffic scales with H "
+                    "([D,T,H,N,N] f32) — fewer, wider heads cut the "
+                    "dominant HBM term")
     ap.add_argument("--num_layers", type=int, default=6)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -56,6 +60,7 @@ def main():
     for mode in modes:
         cfg = TabICAConfig(
             d_model=args.d_model,
+            num_heads=args.num_heads,
             num_layers=args.num_layers,
             num_bars=args.num_bars,
             flash=mode,
@@ -105,6 +110,7 @@ def main():
                 "num_ctx": args.num_ctx,
                 "num_qry": args.num_qry,
                 "d_model": args.d_model,
+                "num_heads": args.num_heads,
                 "num_layers": args.num_layers,
                 "num_bars": args.num_bars,
             },
