@@ -45,6 +45,14 @@ class TabICAConfig:
     dropout: float = 0.0
     # Compute dtype for matmuls ("bfloat16" on TPU, "float32" for tests).
     dtype: str = "bfloat16"
+    # Storage dtype of the materialized attention-score tensors in the dense
+    # row-attention path. The train step is HBM-bound on these [D,T,H,N,N]
+    # tensors (results/train_step_ab.json), so "bfloat16" halves the dominant
+    # traffic; softmax still reduces in float32 (max/exp/sum accumulate in
+    # f32 registers — only the HBM-resident tensor is bf16). Default stays
+    # f32: flip per-run once loss parity is measured (scripts/
+    # profile_train_step.py --scores_dtype).
+    scores_dtype: str = "float32"
     # Row-axis flash attention (Pallas): "auto" enables it on TPU for long
     # contexts, "on"/"off" force it. Static jit argument — switching it
     # retraces, as it must.

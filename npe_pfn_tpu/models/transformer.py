@@ -139,14 +139,19 @@ def _attn_core(
     q_in: [..., Lq, D]; k, v: [..., Lk, H, hd]; kv_mask broadcastable [..., Lk].
     """
     dt = jnp.dtype(cfg.dtype)
+    # Score-tensor storage dtype: the [..., H, Lq, Lk] logits are the HBM
+    # bottleneck of the train step (results/train_step_ab.json); bf16 halves
+    # that traffic. The dot still accumulates in f32 and softmax upcasts to
+    # f32 for the reductions — only the materialized tensor narrows.
+    sdt = jnp.dtype(cfg.scores_dtype)
     scale = cfg.head_dim**-0.5
     q = jnp.einsum("...ld,dhk->...lhk", q_in.astype(dt), p["wq"].astype(dt))
-    logits = jnp.einsum(
+    logits = (jnp.einsum(
         "...qhd,...khd->...hqk", q, k, preferred_element_type=jnp.float32
-    ) * scale
+    ) * scale).astype(sdt)
     if kv_mask is not None:
         logits = jnp.where(kv_mask[..., None, None, :], logits, _NEG_INF)
-    attn = jax.nn.softmax(logits, axis=-1).astype(dt)
+    attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dt)
     out = jnp.einsum("...hqk,...khd->...qhd", attn, v)
     out = jnp.einsum(
         "...qhd,hdm->...qm", out, p["wo"].astype(dt), preferred_element_type=jnp.float32

@@ -57,6 +57,11 @@ def main():
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler trace over this many steps")
     p.add_argument("--profile_dir", default="/tmp/npe_pfn_tpu_pretrain_trace")
+    p.add_argument("--scores_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="attention-score storage dtype; bfloat16 halves the "
+                   "dominant HBM term of the step (softmax still reduces in "
+                   "f32) — flip only with a measured loss-parity run")
     p.add_argument("--flash", choices=["auto", "on", "off"], default="auto",
                    help="row-attention flash mode; 'auto' uses the dense path "
                    "below 2048 context rows, which profiling showed is "
@@ -71,6 +76,7 @@ def main():
         max_features=args.max_features,
         num_bars=args.num_bars,
         flash=args.flash,
+        scores_dtype=args.scores_dtype,
     )
     tcfg = train.TrainConfig(
         num_datasets=args.num_datasets,

@@ -41,9 +41,16 @@ def main():
                     "([D,T,H,N,N] f32) — fewer, wider heads cut the "
                     "dominant HBM term")
     ap.add_argument("--num_layers", type=int, default=6)
+    ap.add_argument("--scores_dtype", action="append",
+                    choices=["float32", "bfloat16"],
+                    help="storage dtype(s) of the dense-path attention "
+                    "scores (repeatable; default: float32)")
+    ap.add_argument("--log_loss_every", type=int, default=0,
+                    help="print the loss every N steps (loss-parity runs)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     modes = args.flash or ["off", "on"]
+    sdts = args.scores_dtype or ["float32"]
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import bench
@@ -57,13 +64,14 @@ def main():
     from npe_pfn_tpu.pretrain import train as T
 
     records = []
-    for mode in modes:
+    for mode, sdt in [(m, d) for m in modes for d in sdts]:
         cfg = TabICAConfig(
             d_model=args.d_model,
             num_heads=args.num_heads,
             num_layers=args.num_layers,
             num_bars=args.num_bars,
             flash=mode,
+            scores_dtype=sdt,
         )
         tcfg = T.TrainConfig(num_datasets=args.num_datasets, max_steps=1 << 30)
         pcfg = prior.PriorConfig(
@@ -94,17 +102,22 @@ def main():
         compile_s = time.time() - t0
 
         t0 = time.time()
+        losses = []
         for i in range(1, args.steps + 1):
             params, opt_state, loss, _ = step(params, opt_state, i)
-            float(loss)
+            l = float(loss)
+            if args.log_loss_every and i % args.log_loss_every == 0:
+                losses.append(round(l, 5))
         ms = (time.time() - t0) / args.steps * 1e3
 
         rec = {
             "flash": mode,
+            "scores_dtype": sdt,
             "ms_per_step": round(ms, 1),
             "steps_per_s": round(1e3 / ms, 2),
             "compile_s": round(compile_s, 1),
             "loss_last": round(float(loss), 4),
+            **({"loss_curve": losses} if losses else {}),
             "shapes": {
                 "num_datasets": args.num_datasets,
                 "num_ctx": args.num_ctx,

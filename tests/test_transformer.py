@@ -111,3 +111,22 @@ def test_checkpoint_roundtrip(model, data, tmp_path):
     a = transformer.forward(CFG, model.params, x_ctx, y_ctx, x_qry)
     b = transformer.forward(loaded.cfg, loaded.params, x_ctx, y_ctx, x_qry)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+@pytest.mark.fast
+def test_scores_dtype_bf16_close_to_f32(model, data):
+    """scores_dtype="bfloat16" narrows only the materialized score tensor
+    (the HBM bottleneck of the train step, results/train_step_ab.json);
+    softmax still reduces in f32, so outputs must track the f32 path within
+    bf16 rounding of the logits."""
+    import dataclasses
+
+    x_ctx, y_ctx, x_qry = data
+    a = transformer.forward(CFG, model.params, x_ctx, y_ctx, x_qry)
+    cfg_bf = dataclasses.replace(CFG, scores_dtype="bfloat16")
+    b = transformer.forward(cfg_bf, model.params, x_ctx, y_ctx, x_qry)
+    assert a.shape == b.shape
+    pa = jax.nn.softmax(a, -1)
+    pb = jax.nn.softmax(b, -1)
+    assert float(jnp.abs(pa - pb).max()) < 5e-2
+    assert float(jnp.abs(pa - pb).mean()) < 2e-3
