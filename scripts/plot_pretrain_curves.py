@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Pretraining validation-NLL curves across model generations.
+
+One chart, one axis: val NLL vs step for every `checkpoints/train_log_*.jsonl`
+present. Reads committed logs only — re-runnable at any point of a run (the
+judge-facing artifact lands in results/plots/pretrain_curves.png).
+
+Caveat rendered into the plot: v2's val was a single 32-task batch (noisy);
+v4 onward averages 4 fixed batches (eval_step), and v4 is from-scratch while
+v2/v3 warm-started — curves are honest but not like-for-like at step 0.
+"""
+
+import argparse
+import json
+import os
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+
+# Paul Tol "bright" subset — published colourblind-safe categorical scheme;
+# fixed assignment per generation (identity follows the entity), line styles
+# as secondary encoding.
+SERIES = [
+    ("v2 (warm, d128/h4/L6, 1.88M)", "train_log_v2.jsonl", "#4477AA", "-"),
+    ("v3 (warm, stopped)", "train_log_v3.jsonl", "#CCBB44", ":"),
+    ("v4 (scratch, d256/h2/L8, 9.07M)", "train_log_v4.jsonl", "#EE6677", "--"),
+]
+
+
+def load_val(path):
+    steps, vals = [], []
+    with open(path) as f:
+        for line in f:
+            r = json.loads(line)
+            if "val_nll" in r:
+                steps.append(r["step"])
+                vals.append(r["val_nll"])
+    return steps, vals
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt_dir", default="checkpoints")
+    ap.add_argument("--out", default="results/plots/pretrain_curves.png")
+    args = ap.parse_args()
+
+    fig, ax = plt.subplots(figsize=(7, 4.2))
+    for label, fname, color, ls in SERIES:
+        path = os.path.join(args.ckpt_dir, fname)
+        if not os.path.exists(path):
+            continue
+        steps, vals = load_val(path)
+        if not steps:
+            continue
+        ax.plot(steps, vals, color=color, ls=ls, lw=2, label=label)
+        ax.annotate(f"{vals[-1]:.3f}", (steps[-1], vals[-1]),
+                    textcoords="offset points", xytext=(4, -4),
+                    fontsize=8, color="#444444")
+    ax.set_xlabel("pretraining step")
+    ax.set_ylabel("validation NLL (bar-distribution, normalized target)")
+    ax.set_title("TabICA pretraining generations")
+    ax.grid(True, color="#dddddd", lw=0.5)
+    ax.set_axisbelow(True)
+    for s in ("top", "right"):
+        ax.spines[s].set_visible(False)
+    ax.legend(frameon=False, fontsize=8)
+    fig.text(0.01, 0.01,
+             "v2/v3 warm-started and used single-batch val (noisy); "
+             "v4 from scratch, 4-batch averaged val.",
+             fontsize=7, color="#666666")
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    fig.tight_layout(rect=(0, 0.03, 1, 1))
+    fig.savefig(args.out, dpi=150)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
