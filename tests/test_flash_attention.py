@@ -265,3 +265,28 @@ def test_training_step_through_flash_path():
     np.testing.assert_allclose(
         np.asarray(flat_f), np.asarray(flat_x), rtol=5e-3, atol=5e-3
     )
+
+
+def test_flash_wide_head_dim_128():
+    """hd=128 — the v4 serving shape (d256/h2): two 128-wide heads dispatch
+    through flash at the 2048-row context default. Interpret mode checks the
+    kernel logic; the real-chip Mosaic-tiling smoke rides the round-4 probe
+    (scripts/probe_checkpoint.py at --num_context 2048)."""
+    from npe_pfn_tpu.ops.flash_attention import flash_row_attention_trainable
+
+    b, h, hd, lq, lk = 2, 2, 128, 32, 96
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(ks[0], (b, lq, h, hd), jnp.float32)
+    k = jax.random.normal(ks[1], (b, lk, h, hd), jnp.float32)
+    v = jax.random.normal(ks[2], (b, lk, h, hd), jnp.float32)
+    mask = jnp.arange(lk) < (lk - 5)
+    ref = reference_row_attention(q, k, v, mask)
+    out = flash_row_attention(q, k, v, mask, block_q=32, block_k=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+    # Trainable variant: forward parity + finite grads at the wide head dim.
+    def loss(q):
+        return jnp.sum(
+            flash_row_attention_trainable(q, k, v, mask, interpret=True) ** 2
+        )
+    g = jax.grad(loss)(q)
+    assert bool(jnp.isfinite(g).all())
