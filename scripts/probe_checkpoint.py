@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--out", default=None)
     ap.add_argument("--skip_bench", action="store_true")
+    ap.add_argument("--profile_dir", default=None,
+                    help="also capture a jax.profiler trace of one warm "
+                    "10k-sample call (serving-path hotspot analysis)")
     ap.add_argument("--num_train", type=int, default=1000)
     ap.add_argument("--num_samples", type=int, default=1024)
     ap.add_argument("--num_context", type=int, default=2048)
@@ -44,6 +47,30 @@ def main():
         runpy.run_path(os.path.join(root, "bench.py"), run_name="__main__")
         with open(bench_out) as f:
             records["bench"] = json.loads(f.readline())
+
+    if args.profile_dir:
+        # Serving-path trace: one warm 10,240-sample call on the default
+        # bench task (non-fatal — the remote runtime may lack profiler
+        # support, see pretrain/train.py profiling hooks).
+        try:
+            import jax
+
+            from npe_pfn_tpu import NPEPFN
+            from npe_pfn_tpu.tasks import get_task
+
+            task = get_task("gaussian_linear", dim=10)
+            theta, x = task.simulate(jax.random.PRNGKey(0), 1000)
+            est = NPEPFN(prior=task.prior, filter_context_size=512,
+                         qry_chunk=1024)
+            est.append_simulations(theta, x)
+            est.sample(10_240, x[0], rng=jax.random.PRNGKey(1))  # warm
+            jax.profiler.start_trace(args.profile_dir)
+            s = est.sample(10_240, x[0], rng=jax.random.PRNGKey(2))
+            jax.block_until_ready(s)
+            jax.profiler.stop_trace()
+            records["profile_dir"] = args.profile_dir
+        except Exception as e:  # pragma: no cover - diagnostics only
+            records["profile_error"] = f"{type(e).__name__}: {e}"
 
     qc_out = "/tmp/probe_quality.jsonl"
     sys.argv = [
