@@ -25,6 +25,7 @@ transformer. Key architectural departures, all driven by XLA semantics:
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Callable, Optional, Tuple, Union
@@ -546,6 +547,9 @@ class NPEPFN:
             model, context_size=self.ratio_context_size,
             num_fits=self.num_ratio_fits,
         )
+        # Jitted one-dispatch rejection samplers, keyed on static config
+        # (see _fused_rejection). Never pickled.
+        self._fused_rej_cache: dict = {}
 
     # -- state / serialization (reference pickle hooks npe_pfn.py:57-71) ----
 
@@ -556,6 +560,7 @@ class NPEPFN:
         )
         state["_x_train"] = None if self._x_train is None else np.asarray(self._x_train)
         state["_ratio"] = None  # lazily rebuilt, like the reference drops models
+        state["_fused_rej_cache"] = {}  # jitted closures are not picklable
         return state
 
     def __setstate__(self, state):
@@ -568,6 +573,7 @@ class NPEPFN:
             context_size=getattr(self, "ratio_context_size", 512),
             num_fits=getattr(self, "num_ratio_fits", 1),
         )
+        self._fused_rej_cache = {}
 
     # -- data ----------------------------------------------------------------
 
@@ -667,8 +673,10 @@ class NPEPFN:
             )
         return orders
 
-    def _raw_sample(self, rng, x_o: Array, num: int, theta_ctx, x_ctx, ctx_mask):
+    def _raw_sample(self, rng, x_o: Array, num: int, theta_ctx, x_ctx, ctx_mask,
+                    model: Optional[TabICAModel] = None):
         """One fixed-shape proposal draw of `num` samples for one obs."""
+        model = self.model if model is None else model
         q = _round_up(num, self.qry_chunk)
         x_qry = jnp.broadcast_to(x_o, (q, x_o.shape[-1]))
         if self.num_ensembles > 1:
@@ -676,7 +684,7 @@ class NPEPFN:
                 theta_ctx, x_ctx, ctx_mask, self.num_ensembles
             )
             theta, lp = autoregressive_sample_ensemble(
-                self.model, tc, xc, cm, x_qry, rng, self.qry_chunk,
+                model, tc, xc, cm, x_qry, rng, self.qry_chunk,
                 self.target_transform,
             )
         elif self.num_order_ensembles > 1:
@@ -690,7 +698,7 @@ class NPEPFN:
             ts, ls = [], []
             for k_i, od in enumerate(orders):
                 t, l = autoregressive_sample(
-                    self.model, theta_ctx, x_ctx, ctx_mask, xq,
+                    model, theta_ctx, x_ctx, ctx_mask, xq,
                     jax.random.fold_in(rng, k_i), self.qry_chunk,
                     self.target_transform, dim_order=od,
                 )
@@ -700,7 +708,7 @@ class NPEPFN:
             lp = jnp.stack(ls, axis=1).reshape(-1)
         else:
             theta, lp = autoregressive_sample(
-                self.model, theta_ctx, x_ctx, ctx_mask, x_qry, rng,
+                model, theta_ctx, x_ctx, ctx_mask, x_qry, rng,
                 self.qry_chunk, self.target_transform,
             )
         return theta[:num], lp[:num]
@@ -711,6 +719,102 @@ class NPEPFN:
         if self.prior is None:
             return jnp.ones(theta.shape[:-1], bool)
         return self.prior.support_check(theta)
+
+    def _fused_rejection(self, num_samples: int, batch: int, max_iters: int):
+        """Build (and cache) a one-dispatch rejection sampler.
+
+        The python-level driver in ``rejection.accept_reject_sample`` costs
+        ~10 small dispatches plus one host sync per iteration; on the
+        remote-TPU tunnel each round trip is tens of milliseconds — measured
+        at ~30% of serving wall time (results/probe_v4_early.json). Here the
+        ENTIRE loop — draw → support mask → stable partition → accumulate →
+        escape-hatch fill (reference accept_reject_sampler.py:48-91) — is a
+        single jitted ``lax.while_loop``, so ``sample()`` is one XLA
+        dispatch. The prior rides along as a traced flax pytree argument, so
+        nothing is baked into the executable and one compile serves every
+        observation/context.
+
+        Cache key = everything static that shapes the trace; jax.jit's own
+        cache handles context-shape variation beneath it.
+        """
+        key = (
+            num_samples, batch, max_iters, self.qry_chunk,
+            self.target_transform, self.num_ensembles,
+            self.num_order_ensembles, self.prior is None,
+        )
+        fn = self._fused_rej_cache.get(key)
+        if fn is not None:
+            return fn
+
+        prior_is_none = self.prior is None
+        # Slack: loop writes land at offsets < num_samples (length `batch`);
+        # the unconditional post-loop fill writes `num_samples` rows at
+        # offset `filled` <= num_samples.
+        slack = num_samples + max(batch, num_samples)
+        reps = -(-num_samples // batch)
+
+        def run(model, prior, theta_ctx, x_ctx, ctx_mask, x_o, rng):
+            dth = theta_ctx.shape[1]
+            acc_s0 = jnp.zeros((slack, dth), jnp.float32)
+            acc_lp0 = jnp.zeros((slack,), jnp.float32)
+            last_s0 = jnp.zeros((batch, dth), jnp.float32)
+            last_lp0 = jnp.zeros((batch,), jnp.float32)
+            i0 = jnp.int32(0)
+
+            def cond(c):
+                it, filled = c[0], c[1]
+                return (filled < num_samples) & (it < max_iters)
+
+            def body(c):
+                it, filled, acc_s, acc_lp, _ls, _ll, tot = c
+                k = jax.random.fold_in(rng, it)
+                s, lp = self._raw_sample(
+                    k, x_o, batch, theta_ctx, x_ctx, ctx_mask, model=model
+                )
+                mask = (
+                    jnp.ones((batch,), bool) if prior_is_none
+                    else prior.support_check(s)
+                )
+                order = jnp.argsort(jnp.logical_not(mask), stable=True)
+                s_sorted = jnp.take(s, order, axis=0)
+                lp_sorted = jnp.take(lp, order, axis=0)
+                n_acc = jnp.sum(mask, dtype=jnp.int32)
+                acc_s = jax.lax.dynamic_update_slice_in_dim(
+                    acc_s, s_sorted, filled, axis=0
+                )
+                acc_lp = jax.lax.dynamic_update_slice_in_dim(
+                    acc_lp, lp_sorted, filled, axis=0
+                )
+                take = jnp.minimum(n_acc, jnp.int32(num_samples) - filled)
+                return (
+                    it + 1, filled + take, acc_s, acc_lp,
+                    s, lp, tot + n_acc,
+                )
+
+            it, filled, acc_s, acc_lp, last_s, last_lp, tot = jax.lax.while_loop(
+                cond, body,
+                (i0, i0, acc_s0, acc_lp0, last_s0, last_lp0, i0),
+            )
+            # Escape hatch (accept_reject_sampler.py:74-77): unconditionally
+            # tile the last unfiltered batch at the fill offset — when the
+            # loop filled everything this only touches junk rows beyond
+            # num_samples; when it fell short, the deficit is covered.
+            fill_s = jnp.concatenate([last_s] * reps, axis=0)[:num_samples]
+            fill_lp = jnp.concatenate([last_lp] * reps, axis=0)[:num_samples]
+            acc_s = jax.lax.dynamic_update_slice_in_dim(
+                acc_s, fill_s, filled, axis=0
+            )
+            acc_lp = jax.lax.dynamic_update_slice_in_dim(
+                acc_lp, fill_lp, filled, axis=0
+            )
+            acceptance = tot.astype(jnp.float32) / (
+                jnp.maximum(it, 1).astype(jnp.float32) * batch
+            )
+            return acc_s[:num_samples], acc_lp[:num_samples], acceptance
+
+        fn = jax.jit(run)
+        self._fused_rej_cache[key] = fn
+        return fn
 
     def sample(
         self,
@@ -752,8 +856,6 @@ class NPEPFN:
         ctx_rng, rng = jax.random.split(rng)
         theta_ctx, x_ctx, ctx_mask = self.get_context(x, ctx_rng)
 
-        from .rejection import accept_reject_sample
-
         # Align the proposal batch to qry_chunk multiples: _raw_sample pads
         # its query rows up to the next chunk boundary anyway, so drawing the
         # padded size costs the same kernel pass but yields every computed
@@ -763,17 +865,32 @@ class NPEPFN:
         batch = _round_up(
             min(num_samples, max_sampling_batch_size), self.qry_chunk
         )
-        theta_out, lp_out, acceptance = accept_reject_sample(
-            rng,
-            proposal_fn=lambda k, n: self._raw_sample(
-                k, x, n, theta_ctx, x_ctx, ctx_mask
-            ),
-            accept_reject_fn=self._within_support,
-            num_samples=num_samples,
-            batch_size=batch,
-            max_iters=max_iters,
-            show_progress=show_progress,
-        )
+        if show_progress or os.environ.get("NPE_PFN_TPU_FUSED", "1") == "0":
+            # Host-driven loop: progress callbacks need per-iteration
+            # control on the host (and the env var is the escape valve if
+            # the fused while_loop ever misbehaves on a new runtime).
+            from .rejection import accept_reject_sample
+
+            theta_out, lp_out, acceptance = accept_reject_sample(
+                rng,
+                proposal_fn=lambda k, n: self._raw_sample(
+                    k, x, n, theta_ctx, x_ctx, ctx_mask
+                ),
+                accept_reject_fn=self._within_support,
+                num_samples=num_samples,
+                batch_size=batch,
+                max_iters=max_iters,
+                show_progress=show_progress,
+            )
+        else:
+            run = self._fused_rejection(num_samples, batch, max_iters)
+            theta_out, lp_out, acceptance_dev = run(
+                self.model, self.prior, theta_ctx, x_ctx, ctx_mask, x, rng
+            )
+            # Sync the scalar only if the caller asked for it.
+            acceptance = (
+                float(acceptance_dev) if return_acceptance_rate else None
+            )
         out = [theta_out]
         if return_log_probs:
             out.append(lp_out)

@@ -274,3 +274,80 @@ def test_ensemble_log_prob(model, sims):
     lp = est.log_prob(theta, x_o, mode="autoregressive")
     assert lp.shape == (9,)
     assert np.all(np.isfinite(np.asarray(lp)))
+
+
+# -- fused one-dispatch rejection (estimator._fused_rejection) ---------------
+
+
+def test_fused_sample_equals_first_raw_draw(model, sims):
+    """With an all-accepting prior the fused while_loop fills on iteration 1,
+    so sample() must return exactly the first raw proposal draw (stable
+    partition with an all-true mask is the identity)."""
+    est = make_estimator(
+        model, sims,
+        prior=distributions.BoxUniform(
+            low=-1e9 * jnp.ones(DIM_THETA), high=1e9 * jnp.ones(DIM_THETA)
+        ),
+    )
+    x_o = sims[1][0]
+    r = jax.random.PRNGKey(21)
+    out, lp = est.sample(40, x_o, rng=r, return_log_probs=True)
+
+    # Replicate sample()'s rng discipline by hand.
+    ctx_rng, loop_rng = jax.random.split(r)
+    tc, xc, cm = est.get_context(x_o, ctx_rng)
+    batch = 64  # round_up(min(40, 10_000), qry_chunk=32)
+    raw_t, raw_lp = est._raw_sample(
+        jax.random.fold_in(loop_rng, 0), x_o, batch, tc, xc, cm
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(raw_t[:40]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(raw_lp[:40]), rtol=1e-4)
+
+
+def test_fused_sample_no_prior(model, sims):
+    est = make_estimator(model, sims, prior=None)
+    s = est.sample(24, sims[1][0], rng=jax.random.PRNGKey(22))
+    assert s.shape == (24, DIM_THETA)
+    assert np.all(np.isfinite(np.asarray(s)))
+
+
+def test_fused_escape_hatch_fills_from_last_batch(model, sims):
+    """Zero-acceptance prior: after max_iters the remainder is the last
+    unfiltered batch, tiled (reference accept_reject_sampler.py:74-77)."""
+    est = make_estimator(
+        model, sims,
+        prior=distributions.BoxUniform(
+            low=100.0 * jnp.ones(DIM_THETA), high=101.0 * jnp.ones(DIM_THETA)
+        ),
+    )
+    x_o = sims[1][0]
+    r = jax.random.PRNGKey(23)
+    out, acc = est.sample(
+        40, x_o, rng=r, max_iters=3, return_acceptance_rate=True
+    )
+    assert acc == 0.0
+    ctx_rng, loop_rng = jax.random.split(r)
+    tc, xc, cm = est.get_context(x_o, ctx_rng)
+    last_t, _ = est._raw_sample(
+        jax.random.fold_in(loop_rng, 2), x_o, 64, tc, xc, cm
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(last_t[:40]), rtol=1e-5
+    )
+
+
+def test_fused_matches_legacy_driver_statistically(model, sims, monkeypatch):
+    """The host-driven driver (NPE_PFN_TPU_FUSED=0) and the fused while_loop
+    draw from the same proposal; check both run and agree in bulk."""
+    est = make_estimator(model, sims)
+    x_o = sims[1][0]
+    fused = est.sample(200, x_o, rng=jax.random.PRNGKey(24))
+    monkeypatch.setenv("NPE_PFN_TPU_FUSED", "0")
+    legacy = est.sample(200, x_o, rng=jax.random.PRNGKey(24))
+    assert fused.shape == legacy.shape == (200, DIM_THETA)
+    np.testing.assert_allclose(
+        np.asarray(fused).mean(axis=0), np.asarray(legacy).mean(axis=0),
+        atol=0.5,
+    )
+    # Rejection keeps everything the support mask accepts.
+    assert bool(jnp.all(est._within_support(fused) | (est.prior is None)))
