@@ -121,15 +121,21 @@ def main():
     x_o = x[0]
 
     # Warm-up: compile the kernel (first TPU compile is slow and not the
-    # steady-state serving cost).
-    est.sample(num_samples, x_o, rng=jax.random.PRNGKey(1))
+    # steady-state serving cost). The device→host materialization is the
+    # sync: on the remote axon runtime `block_until_ready` can return
+    # before execution finishes (it acks the dispatch, not the result), so
+    # an async-timed run overstates throughput by orders of magnitude —
+    # same gotcha as scripts/profile_train_step.py.
+    import numpy as np
+
+    np.asarray(est.sample(num_samples, x_o, rng=jax.random.PRNGKey(1)))
 
     # Measured through the honest default path (full rejection loop; the
     # Normal prior accepts everything, so the loop exits after one draw,
     # but nothing is bypassed).
     t0 = time.perf_counter()
     samples = est.sample(num_samples, x_o, rng=jax.random.PRNGKey(2))
-    jax.block_until_ready(samples)
+    np.asarray(samples)  # host materialization = true completion barrier
     elapsed = time.perf_counter() - t0
 
     throughput = num_samples / elapsed
