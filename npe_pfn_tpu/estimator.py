@@ -816,6 +816,132 @@ class NPEPFN:
         self._fused_rej_cache[key] = fn
         return fn
 
+    def _fused_batched_rejection(self, num_samples: int, n_over: int,
+                                 max_iters: int):
+        """Build (and cache) a one-dispatch BATCHED rejection sampler.
+
+        The vmap of ``_fused_rejection``'s loop over observations: each
+        iteration draws ``n_over`` proposals per obs in one flat kernel
+        pass, stable-partitions accepted rows to the front per obs, and
+        writes them at per-obs fill offsets (vmapped
+        ``dynamic_update_slice``). The whole multi-observation loop —
+        including the per-obs escape hatch — is one jitted
+        ``lax.while_loop``, so ``sample_batched`` costs one XLA dispatch
+        per obs-chunk instead of per-iteration [m, n_over, dθ] D2H copies
+        plus a python loop over observations (the reference's chunked host
+        loop: evaluate_ropefm_batched.py:618-661, npe_pfn.py:369-397).
+
+        Escape hatch per obs (reference accept_reject_sampler.py:74-77):
+        a still-short observation takes its final batch's unused rows —
+        on its last iteration every accepted row was consumed, so "unused"
+        is exactly the sorted batch rotated past ``n_acc`` (rejected rows
+        first), tiled to cover the deficit.
+        """
+        key = (
+            "batched", num_samples, n_over, max_iters, self.qry_chunk,
+            self.target_transform, self.prior is None,
+        )
+        fn = self._fused_rej_cache.get(key)
+        if fn is not None:
+            return fn
+
+        prior_is_none = self.prior is None
+        slack = num_samples + max(n_over, num_samples)
+        reps = -(-num_samples // n_over)
+        write = jax.vmap(
+            lambda A, rows, off: jax.lax.dynamic_update_slice_in_dim(
+                A, rows, off, axis=0
+            )
+        )
+
+        def run(model, prior, theta_ctx, x_ctx, ctx_mask, x, rng):
+            m, dx = x.shape
+            dth = theta_ctx.shape[1]
+            q = _round_up(m * n_over, self.qry_chunk)
+
+            def draw(k):
+                x_qry = jnp.repeat(x, n_over, axis=0)
+                x_qry = jnp.concatenate(
+                    [x_qry, jnp.zeros((q - m * n_over, dx), x.dtype)], axis=0
+                )
+                theta, lp = autoregressive_sample(
+                    model, theta_ctx, x_ctx, ctx_mask, x_qry, k,
+                    self.qry_chunk, self.target_transform,
+                )
+                return (
+                    theta[: m * n_over].reshape(m, n_over, dth),
+                    lp[: m * n_over].reshape(m, n_over),
+                )
+
+            acc_s0 = jnp.zeros((m, slack, dth), jnp.float32)
+            acc_lp0 = jnp.zeros((m, slack), jnp.float32)
+            last_s0 = jnp.zeros((m, n_over, dth), jnp.float32)
+            last_lp0 = jnp.zeros((m, n_over), jnp.float32)
+            last_na0 = jnp.zeros((m,), jnp.int32)
+            filled0 = jnp.zeros((m,), jnp.int32)
+            i0 = jnp.int32(0)
+
+            def cond(c):
+                it, filled = c[0], c[1]
+                return jnp.any(filled < num_samples) & (it < max_iters)
+
+            def body(c):
+                it, filled, acc_s, acc_lp, _ls, _ll, _lna, tot = c
+                k = jax.random.fold_in(rng, it)
+                s, lp = draw(k)
+                if prior_is_none:
+                    mask = jnp.ones((m, n_over), bool)
+                else:
+                    mask = prior.support_check(
+                        s.reshape(-1, dth)
+                    ).reshape(m, n_over)
+                order = jnp.argsort(
+                    jnp.logical_not(mask), axis=1, stable=True
+                )
+                s_sorted = jnp.take_along_axis(s, order[..., None], axis=1)
+                lp_sorted = jnp.take_along_axis(lp, order, axis=1)
+                n_acc = jnp.sum(mask, axis=1, dtype=jnp.int32)
+                acc_s = write(acc_s, s_sorted, filled)
+                acc_lp = write(acc_lp, lp_sorted, filled)
+                take = jnp.minimum(n_acc, jnp.int32(num_samples) - filled)
+                return (
+                    it + 1, filled + take, acc_s, acc_lp,
+                    s_sorted, lp_sorted, n_acc, tot + jnp.sum(n_acc),
+                )
+
+            it, filled, acc_s, acc_lp, last_s, last_lp, last_na, tot = (
+                jax.lax.while_loop(
+                    cond, body,
+                    (i0, filled0, acc_s0, acc_lp0, last_s0, last_lp0,
+                     last_na0, i0),
+                )
+            )
+            # Rotate each obs's final sorted batch so unused (rejected)
+            # rows come first, tile to num_samples, write at the fill
+            # offset. For filled observations this lands at offset
+            # num_samples — junk beyond the returned slice.
+            idx = (jnp.arange(n_over)[None, :] + last_na[:, None]) % n_over
+            rolled_s = jnp.take_along_axis(last_s, idx[..., None], axis=1)
+            rolled_lp = jnp.take_along_axis(last_lp, idx, axis=1)
+            fill_s = jnp.concatenate([rolled_s] * reps, axis=1)[
+                :, :num_samples
+            ]
+            fill_lp = jnp.concatenate([rolled_lp] * reps, axis=1)[
+                :, :num_samples
+            ]
+            acc_s = write(acc_s, fill_s, filled)
+            acc_lp = write(acc_lp, fill_lp, filled)
+            topped_up = jnp.maximum(jnp.int32(num_samples) - filled, 0)
+            n_drawn = it * jnp.int32(m * n_over)
+            return (
+                acc_s[:, :num_samples], acc_lp[:, :num_samples],
+                topped_up, tot, n_drawn,
+            )
+
+        fn = jax.jit(run)
+        self._fused_rej_cache[key] = fn
+        return fn
+
     def sample(
         self,
         num_samples,
@@ -944,13 +1070,32 @@ class NPEPFN:
             rng=ctx_rng,
         )
 
+        use_fused = os.environ.get("NPE_PFN_TPU_FUSED", "1") != "0"
+        if use_fused:
+            n_over = int(
+                math.ceil(
+                    num_samples * (max(oversample, 1.0) if self.prior else 1.0)
+                )
+            )
+            eff_iters = max_iters if self.prior is not None else 1
+            run = self._fused_batched_rejection(num_samples, n_over, eff_iters)
+
         thetas, lps, topups, n_drawn, n_accepted = [], [], [], 0, 0
         for start in range(0, m, obs_chunk):
             rng, k = jax.random.split(rng)
-            t, l, tu, nd, na = self._sample_batched_group(
-                k, x[start : start + obs_chunk], num_samples, max_iters,
-                oversample, ctx,
-            )
+            if use_fused:
+                theta_ctx, x_ctx, ctx_mask = ctx
+                t, l, tu, na_dev, nd_dev = run(
+                    self.model, self.prior, theta_ctx, x_ctx, ctx_mask,
+                    x[start : start + obs_chunk], k,
+                )
+                t, l, tu = np.asarray(t), np.asarray(l), np.asarray(tu)
+                nd, na = int(nd_dev), int(na_dev)
+            else:
+                t, l, tu, nd, na = self._sample_batched_group(
+                    k, x[start : start + obs_chunk], num_samples, max_iters,
+                    oversample, ctx,
+                )
             thetas.append(t)
             lps.append(l)
             topups.append(tu)

@@ -351,3 +351,61 @@ def test_fused_matches_legacy_driver_statistically(model, sims, monkeypatch):
     )
     # Rejection keeps everything the support mask accepts.
     assert bool(jnp.all(est._within_support(fused) | (est.prior is None)))
+
+
+# -- fused batched rejection (estimator._fused_batched_rejection) ------------
+
+
+def test_fused_sample_batched_within_support(model, sims):
+    est = make_estimator(model, sims)
+    xs = sims[1][:3]
+    out, lp = est.sample_batched(
+        20, xs, rng=jax.random.PRNGKey(30), return_log_probs=True
+    )
+    assert out.shape == (3, 20, DIM_THETA) and lp.shape == (3, 20)
+    assert np.all(np.isfinite(np.asarray(out)))
+    flat = jnp.asarray(out).reshape(-1, DIM_THETA)
+    diag = est.last_diagnostics
+    # Rows beyond the escape-hatch top-ups must be in support.
+    assert int(diag["topped_up"].sum()) == 0
+    assert bool(jnp.all(est._within_support(flat)))
+    assert 0.0 < diag["acceptance_rate"] <= 1.0
+
+
+def test_fused_sample_batched_matches_legacy_host_loop(model, sims, monkeypatch):
+    est = make_estimator(model, sims)
+    xs = sims[1][:4]
+    fused = est.sample_batched(50, xs, rng=jax.random.PRNGKey(31))
+    monkeypatch.setenv("NPE_PFN_TPU_FUSED", "0")
+    legacy = est.sample_batched(50, xs, rng=jax.random.PRNGKey(31))
+    assert fused.shape == legacy.shape == (4, 50, DIM_THETA)
+    np.testing.assert_allclose(
+        np.asarray(fused).mean(axis=1), np.asarray(legacy).mean(axis=1),
+        atol=0.6,
+    )
+
+
+def test_fused_sample_batched_escape_hatch_tops_up(model, sims):
+    """Zero-acceptance prior: every obs is topped up from its last
+    unfiltered batch; shapes and diagnostics stay exact."""
+    est = make_estimator(
+        model, sims,
+        prior=distributions.BoxUniform(
+            low=100.0 * jnp.ones(DIM_THETA), high=101.0 * jnp.ones(DIM_THETA)
+        ),
+    )
+    xs = sims[1][:2]
+    out = est.sample_batched(15, xs, rng=jax.random.PRNGKey(32), max_iters=2)
+    assert out.shape == (2, 15, DIM_THETA)
+    assert np.all(np.isfinite(np.asarray(out)))
+    diag = est.last_diagnostics
+    assert list(diag["topped_up"]) == [15, 15]
+    assert diag["acceptance_rate"] == 0.0
+
+
+def test_fused_sample_batched_no_prior(model, sims):
+    est = make_estimator(model, sims, prior=None)
+    out = est.sample_batched(12, sims[1][:2], rng=jax.random.PRNGKey(33))
+    assert out.shape == (2, 12, DIM_THETA)
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert est.last_diagnostics["acceptance_rate"] == 1.0
