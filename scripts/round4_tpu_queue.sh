@@ -30,6 +30,16 @@ if [ -f "$PIDFILE" ] && kill -0 "$(cat "$PIDFILE")" 2>/dev/null; then
 fi
 sleep 30  # let the TPU claim clear
 
+# Training is over: stop the hourly checkpoint snapshotter and build the
+# SWA candidate from its snapshots (host-side numpy; never claims the TPU).
+if [ -f /tmp/snapshot.pid ] && kill -0 "$(cat /tmp/snapshot.pid)" 2>/dev/null; then
+    kill "$(cat /tmp/snapshot.pid)" 2>/dev/null || true
+fi
+if ls checkpoints/snapshots/tabica_v4_s*.npz >/dev/null 2>&1; then
+    python scripts/swa_checkpoint.py --last 4 \
+        --out checkpoints/tabica_v4_swa.npz || true
+fi
+
 commit_results() {
     git add results checkpoints 2>/dev/null
     git diff --cached --quiet 2>/dev/null || git commit -q -m "$1
@@ -38,7 +48,7 @@ No-Verification-Needed: measurement artifacts only"
 }
 
 INCUMBENT=$(cat checkpoints/DEFAULT 2>/dev/null || echo tabica_v2.npz)
-echo "[queue] incumbent: $INCUMBENT; candidates: tabica_v4_best.npz, tabica_v4.npz"
+echo "[queue] incumbent: $INCUMBENT; candidates: tabica_v4_best.npz, tabica_v4.npz, tabica_v4_swa.npz"
 
 # 1. Bundles for both v4 candidates (best-val and final), then the
 #    served-config quality gate against the incumbent's round-3 bundle.
@@ -66,11 +76,19 @@ if [ -f checkpoints/tabica_v4.npz ]; then
     tail -3 /tmp/bundle_v4f.log
     SELECT_ARGS+=("results/tpu_eval_v4final.json=tabica_v4.npz")
 fi
+if [ -f checkpoints/tabica_v4_swa.npz ]; then
+    NPE_PFN_TPU_CHECKPOINT=checkpoints/tabica_v4_swa.npz bash scripts/run_with_watchdog.sh \
+        /tmp/bundle_v4s.log 1500 7200 -- python scripts/tpu_eval_bundle.py \
+        --out=results/tpu_eval_v4swa.json
+    tail -3 /tmp/bundle_v4s.log
+    SELECT_ARGS+=("results/tpu_eval_v4swa.json=tabica_v4_swa.npz")
+fi
 python scripts/select_checkpoint.py "${SELECT_ARGS[@]}" | tee results/select_checkpoint.log
 WINNER=$(cat checkpoints/DEFAULT 2>/dev/null || echo "$INCUMBENT")
 case "$WINNER" in
     tabica_v4_best.npz) cp results/tpu_eval_v4best.json results/tpu_eval.json ;;
     tabica_v4.npz)      cp results/tpu_eval_v4final.json results/tpu_eval.json ;;
+    tabica_v4_swa.npz)  cp results/tpu_eval_v4swa.json results/tpu_eval.json ;;
 esac
 echo "[queue] running remaining stages on winner: $WINNER"
 commit_results "TPU bundles for v4 candidates + quality-gate selection (round 4)"
