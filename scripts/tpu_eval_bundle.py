@@ -101,19 +101,33 @@ def sec_two_moons(ctx):
     theta_o = jnp.array([0.3, -0.4])
     x_o = tm.simulator(jax.random.PRNGKey(99), theta_o)
     gt = tm.posterior_sampler(jax.random.PRNGKey(80), x_o, 1024)
+
+    def _tm_cell(est_tm, n_rep=3):
+        # Average the C2ST over n_rep independent sampling draws: single-rep
+        # 1024-vs-1024 C2ST noise (~±0.02) was the same order as the round-3
+        # gate margins. Extra reps reuse the compiled kernel — near free.
+        cs, bals = [], []
+        for rep in range(n_rep):
+            post = est_tm.sample(1024, x_o,
+                                 rng=jax.random.PRNGKey(82 + 100 * rep),
+                                 max_iters=2)
+            cs.append(float(metrics.c2st(
+                jax.random.PRNGKey(83 + 100 * rep), post, gt)))
+            s = np.asarray(post)
+            bals.append(float(min((s[:, 0] + s[:, 1] > 0).mean(),
+                                  1 - (s[:, 0] + s[:, 1] > 0).mean())))
+        return (round(float(np.mean(cs)), 4), round(float(np.mean(bals)), 3),
+                len(cs))
+
     for n_sims, ctx_size in ((1000, 1024), (10_000, 2048)):
         th_tm, x_tm = tm.simulate(jax.random.PRNGKey(81), n_sims)
         for tt in ("zscore", "quantile"):
             est_tm = npt.NPEPFN(prior=tm.prior, filter_context_size=ctx_size,
                                 qry_chunk=1024, target_transform=tt)
             est_tm.append_simulations(th_tm, x_tm)
-            post = est_tm.sample(1024, x_o, rng=jax.random.PRNGKey(82), max_iters=2)
-            c = float(metrics.c2st(jax.random.PRNGKey(83), post, gt))
-            s = np.asarray(post)
-            bal = float(min((s[:, 0] + s[:, 1] > 0).mean(),
-                            1 - (s[:, 0] + s[:, 1] > 0).mean()))
+            c, bal, n_rep = _tm_cell(est_tm)
             rec = {"n_sims": n_sims, "context": ctx_size, "target_transform": tt,
-                   "c2st_vs_exact": round(c, 4), "mode_balance": round(bal, 3)}
+                   "c2st_vs_exact": c, "mode_balance": bal, "n_rep": n_rep}
             OUT.setdefault("two_moons", []).append(rec)
             print(json.dumps(rec), flush=True)
         # AR factorization-order ensembling variant (order_ensembles key
@@ -121,14 +135,10 @@ def sec_two_moons(ctx):
         est_oe = npt.NPEPFN(prior=tm.prior, filter_context_size=ctx_size,
                             qry_chunk=1024, num_order_ensembles=2)
         est_oe.append_simulations(th_tm, x_tm)
-        post = est_oe.sample(1024, x_o, rng=jax.random.PRNGKey(82), max_iters=2)
-        c = float(metrics.c2st(jax.random.PRNGKey(83), post, gt))
-        s = np.asarray(post)
-        bal = float(min((s[:, 0] + s[:, 1] > 0).mean(),
-                        1 - (s[:, 0] + s[:, 1] > 0).mean()))
+        c, bal, n_rep = _tm_cell(est_oe)
         rec = {"n_sims": n_sims, "context": ctx_size, "target_transform": "zscore",
-               "order_ensembles": 2, "c2st_vs_exact": round(c, 4),
-               "mode_balance": round(bal, 3)}
+               "order_ensembles": 2, "c2st_vs_exact": c,
+               "mode_balance": bal, "n_rep": n_rep}
         OUT.setdefault("two_moons", []).append(rec)
         print(json.dumps(rec), flush=True)
     ctx["tm"], ctx["tm_x_o"], ctx["tm_gt"] = tm, x_o, gt
@@ -142,25 +152,34 @@ def sec_slcp(ctx):
     th_sl = jnp.array([0.7, -1.0, 1.2, 0.8, 0.5])
     x_sl = sl.simulator(jax.random.PRNGKey(87), th_sl)
     gt_sl = sl.posterior_sampler(jax.random.PRNGKey(88), x_sl, 1024)
+    def _sl_cell(est_sl, n_rep=3):
+        cs = []
+        for rep in range(n_rep):
+            post = est_sl.sample(1024, x_sl,
+                                 rng=jax.random.PRNGKey(90 + 100 * rep),
+                                 max_iters=2)
+            cs.append(float(metrics.c2st(
+                jax.random.PRNGKey(91 + 100 * rep), post, gt_sl)))
+        return round(float(np.mean(cs)), 4), len(cs)
+
+    np = ctx["np"]
     for n_sims in (10_000,):
         th_s, x_s = sl.simulate(jax.random.PRNGKey(89), n_sims)
         for tt in ("zscore", "quantile"):
             est_sl = npt.NPEPFN(prior=sl.prior, filter_context_size=1024,
                                 qry_chunk=1024, target_transform=tt)
             est_sl.append_simulations(th_s, x_s)
-            post = est_sl.sample(1024, x_sl, rng=jax.random.PRNGKey(90), max_iters=2)
-            c = float(metrics.c2st(jax.random.PRNGKey(91), post, gt_sl))
+            c, n_rep = _sl_cell(est_sl)
             rec = {"n_sims": n_sims, "target_transform": tt,
-                   "c2st_vs_mcmc": round(c, 4)}
+                   "c2st_vs_mcmc": c, "n_rep": n_rep}
             OUT.setdefault("slcp", []).append(rec)
             print(json.dumps(rec), flush=True)
         est_oe = npt.NPEPFN(prior=sl.prior, filter_context_size=1024,
                             qry_chunk=1024, num_order_ensembles=2)
         est_oe.append_simulations(th_s, x_s)
-        post = est_oe.sample(1024, x_sl, rng=jax.random.PRNGKey(90), max_iters=2)
-        c = float(metrics.c2st(jax.random.PRNGKey(91), post, gt_sl))
+        c, n_rep = _sl_cell(est_oe)
         rec = {"n_sims": n_sims, "target_transform": "zscore",
-               "order_ensembles": 2, "c2st_vs_mcmc": round(c, 4)}
+               "order_ensembles": 2, "c2st_vs_mcmc": c, "n_rep": n_rep}
         OUT.setdefault("slcp", []).append(rec)
         print(json.dumps(rec), flush=True)
 
