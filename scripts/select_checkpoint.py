@@ -36,6 +36,7 @@ def score(bundle: dict):
         return (
             r.get("target_transform", "zscore") == "zscore"
             and r.get("order_ensembles", 1) == 1
+            and r.get("ensembles", 1) == 1
         )
 
     tm = [r["c2st_vs_exact"] for r in bundle.get("two_moons", []) if served(r)]
@@ -49,7 +50,14 @@ def score(bundle: dict):
 
 def main():
     cands = []
+    dry_run = False
+    args = []
     for arg in sys.argv[1:]:
+        if arg == "--dry_run":
+            dry_run = True
+        else:
+            args.append(arg)
+    for arg in args:
         path, name = arg.split("=", 1)
         with open(path) as f:
             bundle = json.load(f)
@@ -72,6 +80,10 @@ def main():
         return
     # stable min: first candidate wins ties (incumbent bias)
     winner = min(scored, key=lambda c: c["score"])
+    if dry_run:
+        print(f"[dry_run] would set DEFAULT -> {winner['checkpoint']} "
+              f"(composite |C2ST-0.5| = {winner['score']:.4f})")
+        return
     pointer = os.path.join(REPO, "checkpoints", "DEFAULT")
     with open(pointer, "w") as f:
         f.write(winner["checkpoint"] + "\n")

@@ -141,6 +141,18 @@ def sec_two_moons(ctx):
                "mode_balance": bal, "n_rep": n_rep}
         OUT.setdefault("two_moons", []).append(rec)
         print(json.dumps(rec), flush=True)
+    # Context-subset ensembling probe (TabPFN ensemble-member analog) on the
+    # hardest config only — the `ensembles` key keeps it out of the
+    # served-config checkpoint gate (select_checkpoint.served).
+    est_en = npt.NPEPFN(prior=tm.prior, filter_context_size=2048,
+                        qry_chunk=1024, num_ensembles=4)
+    est_en.append_simulations(th_tm, x_tm)
+    c, bal, n_rep = _tm_cell(est_en)
+    rec = {"n_sims": 10_000, "context": 2048, "target_transform": "zscore",
+           "ensembles": 4, "c2st_vs_exact": c, "mode_balance": bal,
+           "n_rep": n_rep}
+    OUT.setdefault("two_moons", []).append(rec)
+    print(json.dumps(rec), flush=True)
     ctx["tm"], ctx["tm_x_o"], ctx["tm_gt"] = tm, x_o, gt
 
 
