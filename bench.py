@@ -18,15 +18,20 @@ import time
 
 
 def clear_tpu_chip():
-    """Yield the single TPU chip from a live pretraining watchdog.
+    """Yield the single TPU chip from any live supervised TPU workload.
 
     Only one process may claim the remote TPU at a time (concurrent claims
-    die with FAILED_PRECONDITION). If `scripts/pretrain_watchdog.sh` is
-    running (pidfile /tmp/pretrain.pid), pause the watchdog with SIGSTOP,
-    terminate its trainer child by explicit PID (never pattern matching),
-    and wait for the chip to be released. On exit — normal or signal — the
-    watchdog is SIGCONTed; its retry loop relaunches the trainer, which
-    resumes from the atomic checkpoint (npe_pfn_tpu/pretrain/train.py:206).
+    die with FAILED_PRECONDITION). The driver invokes bench.py while either
+    a pretraining watchdog (/tmp/pretrain.pid) or a measurement queue
+    (/tmp/queue.pid, e.g. scripts/round4_tpu_queue.sh and its per-stage
+    run_with_watchdog.sh wrappers) may hold the chip. For each live root:
+    walk its process tree by explicit PIDs (never pattern matching),
+    SIGSTOP every supervisor (bash/timeout/...) so nothing can relaunch a
+    stage, then SIGTERM→SIGKILL the python leaves that actually claim the
+    chip. On exit — normal or signal — all stopped supervisors are
+    SIGCONTed; their retry loops relaunch the dead stage, which resumes
+    from its atomic checkpoint / incremental saves
+    (npe_pfn_tpu/pretrain/train.py:206, scripts/run_with_watchdog.sh).
     """
     import atexit
     import signal
@@ -34,20 +39,60 @@ def clear_tpu_chip():
 
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         return  # CPU run — no chip contention
-    pidfile = os.environ.get("PRETRAIN_PIDFILE", "/tmp/pretrain.pid")
-    try:
-        watchdog = int(open(pidfile).read().strip())
-        os.kill(watchdog, 0)
-    except (OSError, ValueError):
-        return  # no live watchdog
 
-    os.kill(watchdog, signal.SIGSTOP)
+    roots = []
+    for envvar, default in (
+        ("PRETRAIN_PIDFILE", "/tmp/pretrain.pid"),
+        ("QUEUE_PIDFILE", "/tmp/queue.pid"),
+    ):
+        path = os.environ.get(envvar, default)
+        try:
+            pid = int(open(path).read().strip())
+            os.kill(pid, 0)
+            roots.append(pid)
+        except (OSError, ValueError):
+            continue
+    if not roots:
+        return
+
+    def kids_of(pid):
+        out = subprocess.run(
+            ["ps", "-o", "pid=", "--ppid", str(pid)],
+            capture_output=True, text=True,
+        ).stdout.split()
+        return [int(k) for k in out]
+
+    def comm(pid):
+        try:
+            with open(f"/proc/{pid}/comm") as f:
+                return f.read().strip()
+        except OSError:
+            return ""
+
+    # Freeze supervisors top-down (so a stopped parent cannot respawn a
+    # child between our walk and the kill), collecting python leaves.
+    # Pythons are left running — SIGTERM must be deliverable for their
+    # cleanup handlers (atomic checkpoint writes) to run.
+    stopped, pythons = [], []
+    frontier = list(roots)
+    while frontier:
+        pid = frontier.pop(0)
+        if comm(pid).startswith("python"):
+            pythons.append(pid)
+        else:
+            try:
+                os.kill(pid, signal.SIGSTOP)
+                stopped.append(pid)
+            except OSError:
+                continue
+        frontier.extend(kids_of(pid))
 
     def _resume(*_args):
-        try:
-            os.kill(watchdog, signal.SIGCONT)
-        except OSError:
-            pass
+        for pid in reversed(stopped):
+            try:
+                os.kill(pid, signal.SIGCONT)
+            except OSError:
+                pass
 
     atexit.register(_resume)
     for sig in (signal.SIGTERM, signal.SIGINT):
@@ -62,23 +107,19 @@ def clear_tpu_chip():
 
         signal.signal(sig, _handler)
 
-    kids = subprocess.run(
-        ["ps", "-o", "pid=", "--ppid", str(watchdog)],
-        capture_output=True, text=True,
-    ).stdout.split()
-    for kid in kids:
+    for pid in pythons:
         try:
-            os.kill(int(kid), signal.SIGTERM)
-        except (OSError, ValueError):
+            os.kill(pid, signal.SIGTERM)
+        except OSError:
             pass
     time.sleep(8)
-    for kid in kids:
+    for pid in pythons:
         try:
-            os.kill(int(kid), signal.SIGKILL)
-        except (OSError, ValueError):
+            os.kill(pid, signal.SIGKILL)
+        except OSError:
             pass
-    print(f"[bench] paused pretrain watchdog {watchdog}, "
-          f"stopped trainer {kids}; waiting for chip release", file=sys.stderr)
+    print(f"[bench] froze supervisors {stopped}, stopped TPU processes "
+          f"{pythons}; waiting for chip release", file=sys.stderr)
     time.sleep(30)
 
 

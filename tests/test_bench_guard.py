@@ -1,10 +1,12 @@
 """The bench chip-yield guard (bench.clear_tpu_chip).
 
 Only one process may claim the remote TPU; the driver invokes `bench.py`
-while a pretraining watchdog (scripts/pretrain_watchdog.sh) may hold the
-chip. The guard must pause the watchdog, terminate its trainer child by
-explicit PID, and resume the watchdog on interpreter exit so training
-continues from the atomic checkpoint.
+while a pretraining watchdog (scripts/pretrain_watchdog.sh) or a
+measurement queue (scripts/round4_tpu_queue.sh + run_with_watchdog.sh
+stage wrappers) may hold the chip. The guard must freeze every supervisor
+in those trees by explicit PID (never pattern matching), terminate the
+python leaves that actually claim the chip, and resume the supervisors on
+interpreter exit so the dead stage relaunches from its atomic saves.
 """
 
 import atexit
@@ -25,33 +27,82 @@ def _proc_state(pid: int) -> str:
         return f.read().split()[2]
 
 
+def _wait_for(path, secs=5.0):
+    deadline = time.time() + secs
+    while not os.path.exists(str(path)) and time.time() < deadline:
+        time.sleep(0.05)
+
+
+def _tree_pids(root: int):
+    out = subprocess.run(
+        ["ps", "-o", "pid=", "--ppid", str(root)],
+        capture_output=True, text=True,
+    ).stdout.split()
+    pids = []
+    for k in out:
+        pids.append(int(k))
+        pids.extend(_tree_pids(int(k)))
+    return pids
+
+
+def _cleanup_tree(root: int):
+    for pid in [root] + _tree_pids(root):
+        for sig in (signal.SIGCONT, signal.SIGKILL):
+            try:
+                os.kill(pid, sig)
+            except OSError:
+                pass
+
+
 @pytest.fixture
 def dummy_watchdog(tmp_path, monkeypatch):
+    """bash watchdog with a python 'trainer' child, like pretrain_watchdog."""
     pidfile = tmp_path / "wd.pid"
     wd = subprocess.Popen(
-        ["bash", "-c", f"echo $$ > {pidfile}; sleep 60 & wait"]
+        ["bash", "-c",
+         f"echo $$ > {pidfile}; python -c 'import time; time.sleep(60)' & wait"]
     )
-    deadline = time.time() + 5
-    while not pidfile.exists() and time.time() < deadline:
-        time.sleep(0.05)
+    _wait_for(pidfile)
+    time.sleep(0.3)  # let the python child exist
     monkeypatch.setenv("PRETRAIN_PIDFILE", str(pidfile))
+    # Point the queue pidfile away from any REAL live queue on this host.
+    monkeypatch.setenv("QUEUE_PIDFILE", str(tmp_path / "no_queue.pid"))
     # conftest pins JAX_PLATFORMS=cpu, which makes the guard a no-op;
     # simulate the driver's TPU environment.
     monkeypatch.delenv("JAX_PLATFORMS", raising=False)
     yield wd
-    try:
-        os.kill(wd.pid, signal.SIGCONT)
-        os.kill(wd.pid, signal.SIGKILL)
-    except OSError:
-        pass
+    _cleanup_tree(wd.pid)
     wd.wait()
 
 
-def test_guard_pauses_watchdog_and_kills_trainer(dummy_watchdog, monkeypatch):
+@pytest.fixture
+def dummy_queue(tmp_path, monkeypatch):
+    """queue bash -> stage-watchdog bash -> python, like round4_tpu_queue."""
+    pidfile = tmp_path / "queue.pid"
+    q = subprocess.Popen(
+        ["bash", "-c",
+         f"echo $$ > {pidfile}; "
+         "bash -c \"python -c 'import time; time.sleep(60)' & wait\" & wait"]
+    )
+    _wait_for(pidfile)
+    time.sleep(0.4)  # let the inner tree exist
+    monkeypatch.setenv("QUEUE_PIDFILE", str(pidfile))
+    monkeypatch.setenv("PRETRAIN_PIDFILE", str(tmp_path / "no_wd.pid"))
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    yield q
+    _cleanup_tree(q.pid)
+    q.wait()
+
+
+def _fast_sleeps(monkeypatch):
     # Shrink the chip-release waits so the test stays fast. bench.time is
     # this module's time object too — capture the real sleep first.
     real_sleep = time.sleep
     monkeypatch.setattr(bench.time, "sleep", lambda s: real_sleep(min(s, 0.2)))
+
+
+def test_guard_pauses_watchdog_and_kills_trainer(dummy_watchdog, monkeypatch):
+    _fast_sleeps(monkeypatch)
     bench.clear_tpu_chip()
     wd_pid = dummy_watchdog.pid
     assert _proc_state(wd_pid) == "T"  # stopped, cannot relaunch the trainer
@@ -59,11 +110,40 @@ def test_guard_pauses_watchdog_and_kills_trainer(dummy_watchdog, monkeypatch):
         ["ps", "-o", "stat=", "--ppid", str(wd_pid)],
         capture_output=True, text=True,
     ).stdout.split()
-    assert all(s.startswith("Z") for s in kids)  # trainer dead (unreaped)
+    assert kids and all(s.startswith("Z") for s in kids)  # trainer dead
     # Interpreter exit resumes the watchdog (atexit hook).
     atexit._run_exitfuncs()
     time.sleep(0.3)
     assert _proc_state(wd_pid) != "T"
+
+
+def test_guard_freezes_queue_tree_and_kills_leaf(dummy_queue, monkeypatch):
+    _fast_sleeps(monkeypatch)
+    q_pid = dummy_queue.pid
+    before = _tree_pids(q_pid)
+    assert before, "queue tree failed to start"
+    bench.clear_tpu_chip()
+    assert _proc_state(q_pid) == "T"  # queue frozen: no next stage launches
+    shells_stopped, python_dead = 0, 0
+    for pid in before:
+        try:
+            state = _proc_state(pid)
+        except OSError:
+            python_dead += 1  # reaped already
+            continue
+        with open(f"/proc/{pid}/comm") as f:
+            name = f.read().strip()
+        if name.startswith("python"):
+            assert state.startswith("Z") or state == "X"
+            python_dead += 1
+        else:
+            assert state == "T"
+            shells_stopped += 1
+    assert shells_stopped >= 1 and python_dead >= 1
+    # Interpreter exit resumes every frozen supervisor.
+    atexit._run_exitfuncs()
+    time.sleep(0.3)
+    assert _proc_state(q_pid) != "T"
 
 
 def test_guard_noop_on_cpu(dummy_watchdog, monkeypatch):
@@ -74,5 +154,6 @@ def test_guard_noop_on_cpu(dummy_watchdog, monkeypatch):
 
 def test_guard_noop_without_pidfile(tmp_path, monkeypatch):
     monkeypatch.setenv("PRETRAIN_PIDFILE", str(tmp_path / "absent.pid"))
+    monkeypatch.setenv("QUEUE_PIDFILE", str(tmp_path / "absent2.pid"))
     monkeypatch.delenv("JAX_PLATFORMS", raising=False)
     bench.clear_tpu_chip()  # must not raise
