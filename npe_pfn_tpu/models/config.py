@@ -53,6 +53,16 @@ class TabICAConfig:
     # f32: flip per-run once loss parity is measured (scripts/
     # profile_train_step.py --scores_dtype).
     scores_dtype: str = "float32"
+    # Perceiver-style row-attention bottleneck: pool each row's T=F+1 cell
+    # tokens into this many learned slots (cross-attention), run row-axis
+    # attention on the slots only, and scatter back to the tokens with a
+    # second cross-attention. The measured train-step cost is HBM-bound on
+    # the per-token row-attention score tensors [T, H, N, N]
+    # (results/train_step_ab.json) — pooling cuts that dominant term from
+    # T*N^2 to K*N^2 (~4x at T=33, K=8) and shrinks the serving K/V cache
+    # the same way. 0 disables (the shipped v1-v4 checkpoints use 0);
+    # requires a from-scratch pretrain to evaluate.
+    row_pool_slots: int = 0
     # Row-axis flash attention (Pallas): "auto" enables it on TPU for long
     # contexts, "on"/"off" force it. Static jit argument — switching it
     # retraces, as it must.

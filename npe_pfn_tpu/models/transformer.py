@@ -69,6 +69,21 @@ def init_params(rng: jax.Array, cfg: TabICAConfig) -> Params:
         }
 
     ln = lambda: {"scale": jnp.ones((l, d)), "bias": jnp.zeros((l, d))}
+    pool = {}
+    if cfg.row_pool_slots:
+        # Row-attention bottleneck (config.py row_pool_slots): K learned slot
+        # queries per layer, a token→slot pooling cross-attention, and a
+        # slot→token unpooling cross-attention. Scale-1 slot embeddings give
+        # the K pooling queries distinct directions from step 0.
+        pool = {
+            "pool": {
+                "slots": nrm(next(keys), (l, cfg.row_pool_slots, d), 1.0),
+                "pool_attn": attn_params(),
+                "ln_slot": ln(),
+                "ln_unpool": ln(),
+                "unpool_attn": attn_params(),
+            }
+        }
     params = {
         "embed": {
             "w_feat": nrm(next(keys), (d,), 1.0),
@@ -89,6 +104,7 @@ def init_params(rng: jax.Array, cfg: TabICAConfig) -> Params:
                 "w2": nrm(next(keys), (l, hid, d), out_scale),
                 "b2": jnp.zeros((l, d)),
             },
+            **pool,
         },
         "head": {
             "ln": {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))},
@@ -268,10 +284,42 @@ def _mlp_step(cfg, p, h):
     return _res_add(cfg, h, _mlp(cfg, p["mlp"], _ln(p["ln_mlp"], h)))
 
 
+def _pool_rows(cfg, p, hn, token_mask):
+    """Attention-pool each row's T cell tokens into K learned slots.
+
+    hn: [..., R, T, D] (already LN'd). Returns [..., R, K, D]. Padded
+    feature tokens are masked out of the pooling keys; the target token is
+    always valid, so every row has at least one live key."""
+    pp = p["pool"]
+    slots = jnp.broadcast_to(pp["slots"], hn.shape[:-2] + pp["slots"].shape)
+    return _attn(cfg, pp["pool_attn"], slots, hn, token_mask[..., None, :])
+
+
+def _unpool_rows(cfg, p, hn, s):
+    """Scatter K row-attended slots back onto the T tokens: tokens (queries)
+    cross-attend over their row's slots. hn: [..., R, T, D]; s: [..., R, K, D]."""
+    pp = p["pool"]
+    return _attn(cfg, pp["unpool_attn"], hn, _ln(pp["ln_unpool"], s), None)
+
+
 def _block_ctx(cfg, p, h_ctx, token_mask, ctx_mask):
     """Context rows through one block; returns new state + row-attn K/V
-    cache (the projected keys/values queries will attend to)."""
+    cache (the projected keys/values queries will attend to). With
+    cfg.row_pool_slots the cache holds K pooled-slot K/Vs per row instead
+    of T per-token ones — same [..., slot_axis, N, H, hd] layout, so the
+    decode path is shape-agnostic to pooling."""
     h_ctx = _feat_attn_step(cfg, p, h_ctx, token_mask)
+    if cfg.row_pool_slots:
+        pp = p["pool"]
+        hn = _ln(p["ln_row"], h_ctx)  # [..., N, T, D]
+        s = _pool_rows(cfg, p, hn, token_mask)  # [..., N, K, D]
+        s = jnp.swapaxes(s, -3, -2)  # [..., K, N, D]
+        sn = _ln(pp["ln_slot"], s).astype(jnp.dtype(cfg.dtype))
+        k, v = _project_kv(cfg, p["row_attn"], sn)
+        s = _res_add(cfg, s, _row_attn(cfg, p["row_attn"], sn, k, v, ctx_mask))
+        s = jnp.swapaxes(s, -3, -2)  # [..., N, K, D]
+        h_ctx = _res_add(cfg, h_ctx, _unpool_rows(cfg, p, hn, s))
+        return _mlp_step(cfg, p, h_ctx), (k, v)
     hc = jnp.swapaxes(h_ctx, -3, -2)  # [..., T, N, D]
     hc_n = _ln(p["ln_row"], hc).astype(jnp.dtype(cfg.dtype))
     k, v = _project_kv(cfg, p["row_attn"], hc_n)
@@ -284,6 +332,16 @@ def _block_qry(cfg, p, h_qry, kv_cache, token_mask, ctx_mask):
     """Query rows through one block against the cached context K/V."""
     k, v = kv_cache
     h_qry = _feat_attn_step(cfg, p, h_qry, token_mask)
+    if cfg.row_pool_slots:
+        pp = p["pool"]
+        hn = _ln(p["ln_row"], h_qry)  # [..., Q, T, D]
+        s = _pool_rows(cfg, p, hn, token_mask)  # [..., Q, K, D]
+        s = jnp.swapaxes(s, -3, -2)  # [..., K, Q, D]
+        sn = _ln(pp["ln_slot"], s).astype(jnp.dtype(cfg.dtype))
+        s = _res_add(cfg, s, _row_attn(cfg, p["row_attn"], sn, k, v, ctx_mask))
+        s = jnp.swapaxes(s, -3, -2)  # [..., Q, K, D]
+        h_qry = _res_add(cfg, h_qry, _unpool_rows(cfg, p, hn, s))
+        return _mlp_step(cfg, p, h_qry)
     hq = jnp.swapaxes(h_qry, -3, -2)  # [..., T, Q, D]
     hq_n = _ln(p["ln_row"], hq).astype(jnp.dtype(cfg.dtype))
     hq = _res_add(cfg, hq, _row_attn(cfg, p["row_attn"], hq_n, k, v, ctx_mask))

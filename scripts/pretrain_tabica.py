@@ -62,6 +62,12 @@ def main():
                    help="attention-score storage dtype; bfloat16 halves the "
                    "dominant HBM term of the step (softmax still reduces in "
                    "f32) — flip only with a measured loss-parity run")
+    p.add_argument("--row_pool_slots", type=int, default=0,
+                   help="Perceiver-style row-attention bottleneck: pool each "
+                   "row's T cell tokens into K learned slots before row "
+                   "attention (cuts the dominant HBM term from T*N^2 to "
+                   "K*N^2, results/train_step_ab.json). 0 = off; requires a "
+                   "from-scratch run")
     p.add_argument("--flash", choices=["auto", "on", "off"], default="auto",
                    help="row-attention flash mode; 'auto' uses the dense path "
                    "below 2048 context rows, which profiling showed is "
@@ -77,6 +83,7 @@ def main():
         num_bars=args.num_bars,
         flash=args.flash,
         scores_dtype=args.scores_dtype,
+        row_pool_slots=args.row_pool_slots,
     )
     tcfg = train.TrainConfig(
         num_datasets=args.num_datasets,

@@ -41,6 +41,9 @@ def main():
                     "([D,T,H,N,N] f32) — fewer, wider heads cut the "
                     "dominant HBM term")
     ap.add_argument("--num_layers", type=int, default=6)
+    ap.add_argument("--row_pool_slots", type=int, default=0,
+                    help="pool each row's T tokens into K slots before row "
+                    "attention (0 = dense); A/B the measured HBM lever")
     ap.add_argument("--scores_dtype", action="append",
                     choices=["float32", "bfloat16"],
                     help="storage dtype(s) of the dense-path attention "
@@ -72,6 +75,7 @@ def main():
             num_bars=args.num_bars,
             flash=mode,
             scores_dtype=sdt,
+            row_pool_slots=args.row_pool_slots,
         )
         tcfg = T.TrainConfig(num_datasets=args.num_datasets, max_steps=1 << 30)
         pcfg = prior.PriorConfig(
