@@ -62,26 +62,37 @@ else
         --out=results/tpu_eval_incumbent.json
     SELECT_ARGS+=("results/tpu_eval_incumbent.json=$INCUMBENT")
 fi
+# Bundle stages are idempotent: a queue re-armed after a VM restart skips
+# candidates whose bundle JSON is already on disk (committed per stage).
 if [ -f checkpoints/tabica_v4_best.npz ]; then
-    NPE_PFN_TPU_CHECKPOINT=checkpoints/tabica_v4_best.npz bash scripts/run_with_watchdog.sh \
-        /tmp/bundle_v4b.log 1500 7200 -- python scripts/tpu_eval_bundle.py \
-        --out=results/tpu_eval_v4best.json
-    tail -3 /tmp/bundle_v4b.log
-    SELECT_ARGS+=("results/tpu_eval_v4best.json=tabica_v4_best.npz")
+    [ -f results/tpu_eval_v4best.json ] || {
+        NPE_PFN_TPU_CHECKPOINT=checkpoints/tabica_v4_best.npz bash scripts/run_with_watchdog.sh \
+            /tmp/bundle_v4b.log 1500 7200 -- python scripts/tpu_eval_bundle.py \
+            --out=results/tpu_eval_v4best.json
+        tail -3 /tmp/bundle_v4b.log
+    }
+    [ -f results/tpu_eval_v4best.json ] && SELECT_ARGS+=("results/tpu_eval_v4best.json=tabica_v4_best.npz")
+    commit_results "TPU bundle: v4 best-val candidate"
 fi
 if [ -f checkpoints/tabica_v4.npz ]; then
-    NPE_PFN_TPU_CHECKPOINT=checkpoints/tabica_v4.npz bash scripts/run_with_watchdog.sh \
-        /tmp/bundle_v4f.log 1500 7200 -- python scripts/tpu_eval_bundle.py \
-        --out=results/tpu_eval_v4final.json
-    tail -3 /tmp/bundle_v4f.log
-    SELECT_ARGS+=("results/tpu_eval_v4final.json=tabica_v4.npz")
+    [ -f results/tpu_eval_v4final.json ] || {
+        NPE_PFN_TPU_CHECKPOINT=checkpoints/tabica_v4.npz bash scripts/run_with_watchdog.sh \
+            /tmp/bundle_v4f.log 1500 7200 -- python scripts/tpu_eval_bundle.py \
+            --out=results/tpu_eval_v4final.json
+        tail -3 /tmp/bundle_v4f.log
+    }
+    [ -f results/tpu_eval_v4final.json ] && SELECT_ARGS+=("results/tpu_eval_v4final.json=tabica_v4.npz")
+    commit_results "TPU bundle: v4 final candidate"
 fi
 if [ -f checkpoints/tabica_v4_swa.npz ]; then
-    NPE_PFN_TPU_CHECKPOINT=checkpoints/tabica_v4_swa.npz bash scripts/run_with_watchdog.sh \
-        /tmp/bundle_v4s.log 1500 7200 -- python scripts/tpu_eval_bundle.py \
-        --out=results/tpu_eval_v4swa.json
-    tail -3 /tmp/bundle_v4s.log
-    SELECT_ARGS+=("results/tpu_eval_v4swa.json=tabica_v4_swa.npz")
+    [ -f results/tpu_eval_v4swa.json ] || {
+        NPE_PFN_TPU_CHECKPOINT=checkpoints/tabica_v4_swa.npz bash scripts/run_with_watchdog.sh \
+            /tmp/bundle_v4s.log 1500 7200 -- python scripts/tpu_eval_bundle.py \
+            --out=results/tpu_eval_v4swa.json
+        tail -3 /tmp/bundle_v4s.log
+    }
+    [ -f results/tpu_eval_v4swa.json ] && SELECT_ARGS+=("results/tpu_eval_v4swa.json=tabica_v4_swa.npz")
+    commit_results "TPU bundle: v4 SWA candidate"
 fi
 python scripts/select_checkpoint.py "${SELECT_ARGS[@]}" | tee results/select_checkpoint.log
 WINNER=$(cat checkpoints/DEFAULT 2>/dev/null || echo "$INCUMBENT")
@@ -114,12 +125,12 @@ bash scripts/run_with_watchdog.sh /tmp/grid_cond4.log 1800 10800 -- \
     --out "$GRID_OUT" || true
 commit_results "Round-4 eval grid (conditional tasks)"
 
-bash scripts/run_with_watchdog.sh /tmp/grid_joint4.log 1800 5400 -- \
+bash scripts/run_with_watchdog.sh /tmp/grid_joint4.log 1800 7200 -- \
     python scripts/evaluate_tasks.py \
-    --tasks lotka_volterra sir pendulum wind_tunnel \
+    --tasks lotka_volterra sir pendulum wind_tunnel gaussian_bump_image \
     --num_cal 10 50 200 1000 --seeds 0 1 2 3 4 \
     --num_test 1000 --out "$GRID_OUT" || true
-commit_results "Round-4 eval grid (joint tasks)"
+commit_results "Round-4 eval grid (joint tasks incl. image task)"
 
 # 4. Length generalization on the winner (the d256 model trains at 768 rows
 #    too — the curve decides the serving filter_context_size default again).
@@ -137,6 +148,18 @@ timeout 1500 python scripts/predictive_check.py \
 python scripts/plot_results.py --results "$GRID_OUT" --out "$GRID_OUT/plots" || true
 python scripts/plot_comparison.py --results "$GRID_OUT" --out "$GRID_OUT/plots" || true
 commit_results "Round-4 calibration, predictive checks, plots"
+
+# 5b. Round-5 planning data: on-chip step-time A/B of the Perceiver-style
+#     row-attention bottleneck (row_pool_slots, commit 568a093) at the v4
+#     shape. CPU tests cover correctness; this measures whether K=8 slots
+#     actually cut the T*N^2 HBM term enough to fund a bigger round-5 run.
+if [ ! -f results/train_step_pool_ab.json ]; then
+    timeout 2700 python scripts/profile_train_step.py --flash off \
+        --steps 25 --d_model 256 --num_heads 2 --num_layers 8 \
+        --num_bars 1024 --scores_dtype bfloat16 --row_pool_slots 8 \
+        --out results/train_step_pool_ab.json || true
+    commit_results "On-chip step-time profile of the row-pool bottleneck (round-5 planning)"
+fi
 
 # 6. Rebuild the demo on whatever DEFAULT now points at.
 timeout 3600 python scripts/build_demo_notebook.py || true
