@@ -4,3 +4,8 @@ from .mesh import (  # noqa: F401
     shard_batch,
     sharded_autoregressive_sample,
 )
+from .tensor_parallel import (  # noqa: F401
+    param_pspecs,
+    tp_forward_logits,
+    tp_place,
+)

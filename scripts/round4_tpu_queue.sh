@@ -140,6 +140,15 @@ bash scripts/run_with_watchdog.sh /tmp/lengen4.log 1200 3600 -- \
     --out "$GRID_OUT/length_generalization.jsonl" || true
 commit_results "Round-4 length-generalization curve"
 
+# 4b. TSNPE simulation-efficiency: C2ST vs (budget × rounds) on the
+#     ground-truth tasks — the reference's sequential headline
+#     (tsnpe_pfn.py:14-119) measured quantitatively. Resumable (JSONL).
+bash scripts/run_with_watchdog.sh /tmp/tsnpe_eff.log 1200 3600 -- \
+    python scripts/tsnpe_efficiency.py \
+    --tasks two_moons slcp --budgets 256 1024 --rounds 1 2 4 --seeds 0 1 \
+    --out "$GRID_OUT/tsnpe_efficiency.jsonl" || true
+commit_results "Round-4 TSNPE simulation-efficiency curve"
+
 # 5. Calibration + predictive checks + plots.
 timeout 1800 python scripts/calibration_check.py --task two_moons --dim 2 \
     > "$GRID_OUT/sbc_two_moons.log" 2>&1 || true
