@@ -4,6 +4,10 @@ from .mesh import (  # noqa: F401
     shard_batch,
     sharded_autoregressive_sample,
 )
+from .pipeline import (  # noqa: F401
+    pp_decode,
+    pp_fit_encode,
+)
 from .tensor_parallel import (  # noqa: F401
     param_pspecs,
     tp_forward_logits,

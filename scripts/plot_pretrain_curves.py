@@ -30,11 +30,17 @@ SERIES = [
 
 
 def load_val(path):
+    """Val-NLL series. A log can contain several runs back-to-back (the
+    trainer appends; e.g. v4's first leg was lost to a VM restart and the
+    relaunch appended from step 100 again) — keep only the LATEST run,
+    i.e. everything after the last step-counter reset."""
     steps, vals = [], []
     with open(path) as f:
         for line in f:
             r = json.loads(line)
             if "val_nll" in r:
+                if steps and r["step"] < steps[-1]:
+                    steps, vals = [], []  # step reset: a newer run begins
                 steps.append(r["step"])
                 vals.append(r["val_nll"])
     return steps, vals
