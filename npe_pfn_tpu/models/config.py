@@ -63,6 +63,19 @@ class TabICAConfig:
     # the same way. 0 disables (the shipped v1-v4 checkpoints use 0);
     # requires a from-scratch pretrain to evaluate.
     row_pool_slots: int = 0
+    # Mixture-of-experts MLP: number of expert MLPs per block (0 = dense,
+    # the shipped v1-v4 checkpoints). Routing is per-cell-token top-k with
+    # a learned linear router; all experts are computed densely and combined
+    # by the (masked-softmax) gate weights. Dense-all-experts is deliberate
+    # on TPU at small expert counts: static shapes, no sort/scatter dispatch,
+    # every matmul stays MXU-shaped — and because the measured train step is
+    # HBM-bound on attention scores (results/train_step_ab.json), the extra
+    # MLP FLOPs are largely hidden. Expert parallelism
+    # (parallel/expert_parallel.py) shards the expert axis over an "ep" mesh
+    # axis; GSPMD turns the gate-weighted combine into the psum.
+    num_experts: int = 0
+    # Experts each token is routed to (top-k gating); must be <= num_experts.
+    moe_top_k: int = 2
     # Row-axis flash attention (Pallas): "auto" enables it on TPU for long
     # contexts, "on"/"off" force it. Static jit argument — switching it
     # retraces, as it must.

@@ -98,12 +98,26 @@ def init_params(rng: jax.Array, cfg: TabICAConfig) -> Params:
             "ln_row": ln(),
             "row_attn": attn_params(),
             "ln_mlp": ln(),
-            "mlp": {
-                "w1": nrm(next(keys), (l, d, hid)),
-                "b1": jnp.zeros((l, hid)),
-                "w2": nrm(next(keys), (l, hid, d), out_scale),
-                "b2": jnp.zeros((l, d)),
-            },
+            "mlp": (
+                {
+                    # Mixture-of-experts MLP (config.py num_experts): per-token
+                    # linear router over E experts, each expert a full
+                    # d->hid->d MLP. Stored expert-major so the "ep" mesh axis
+                    # shards dim 1 (parallel/expert_parallel.py).
+                    "router": nrm(next(keys), (l, d, cfg.num_experts)),
+                    "w1": nrm(next(keys), (l, cfg.num_experts, d, hid)),
+                    "b1": jnp.zeros((l, cfg.num_experts, hid)),
+                    "w2": nrm(next(keys), (l, cfg.num_experts, hid, d), out_scale),
+                    "b2": jnp.zeros((l, cfg.num_experts, d)),
+                }
+                if cfg.num_experts
+                else {
+                    "w1": nrm(next(keys), (l, d, hid)),
+                    "b1": jnp.zeros((l, hid)),
+                    "w2": nrm(next(keys), (l, hid, d), out_scale),
+                    "b2": jnp.zeros((l, d)),
+                }
+            ),
             **pool,
         },
         "head": {
@@ -247,7 +261,44 @@ def _row_attn(cfg, p, q_in, k, v, ctx_mask):
     return _attn_core(cfg, p, q_in, k, v, ctx_mask[..., None, :])
 
 
+def _moe_mlp(cfg: TabICAConfig, p: Params, x: jnp.ndarray):
+    """Top-k-routed mixture-of-experts MLP, computed densely over experts.
+
+    Returns ``(out, aux)`` where ``aux`` is the Switch-style load-balance
+    loss E * sum_e (f_e / k) * P_e — 1.0 under perfectly uniform routing,
+    approaching E under collapse (f_e = fraction of tokens routing to
+    expert e, P_e = mean router probability). All E experts run for every
+    token (einsum over the expert axis, static shapes, no dispatch); the
+    gate zeroes the non-top-k contributions exactly, so sharding the expert
+    axis over an "ep" mesh axis makes the combine the GSPMD-derived psum.
+    Aux statistics include padded tokens (they are embedded as zeros and
+    routed like any other token) — acceptable bias, documented here.
+    """
+    dt = jnp.dtype(cfg.dtype)
+    n_exp, k = cfg.num_experts, cfg.moe_top_k
+    # Router in f32: gate quality and the aux loss are sensitive to rounding.
+    glog = jnp.einsum(
+        "...d,de->...e", x.astype(jnp.float32), p["router"].astype(jnp.float32)
+    )
+    kth = jax.lax.top_k(glog, k)[0][..., -1:]
+    sel = glog >= kth
+    gates = jax.nn.softmax(jnp.where(sel, glog, _NEG_INF), axis=-1)
+    h = jnp.einsum("...d,edh->...eh", x.astype(dt), p["w1"].astype(dt)) + p["b1"]
+    h = jax.nn.gelu(h.astype(jnp.float32)).astype(dt)
+    y = jnp.einsum(
+        "...eh,ehd->...ed", h, p["w2"].astype(dt), preferred_element_type=jnp.float32
+    ) + p["b2"]
+    out = jnp.einsum("...e,...ed->...d", gates, y)
+    batch_axes = tuple(range(glog.ndim - 1))
+    frac = jnp.mean(sel.astype(jnp.float32), axis=batch_axes)
+    prob = jnp.mean(jax.nn.softmax(glog, axis=-1), axis=batch_axes)
+    aux = n_exp * jnp.sum((frac / k) * prob)
+    return out, aux
+
+
 def _mlp(cfg: TabICAConfig, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if "router" in p:
+        return _moe_mlp(cfg, p, x)[0]
     dt = jnp.dtype(cfg.dtype)
     h = jnp.einsum("...d,dk->...k", x.astype(dt), p["w1"].astype(dt)) + p["b1"]
     h = jax.nn.gelu(h.astype(jnp.float32)).astype(dt)
@@ -284,6 +335,16 @@ def _mlp_step(cfg, p, h):
     return _res_add(cfg, h, _mlp(cfg, p["mlp"], _ln(p["ln_mlp"], h)))
 
 
+def _mlp_step_aux(cfg, p, h):
+    """MLP step that also returns the MoE load-balance aux loss (0.0 for a
+    dense MLP) — used by the pretraining forward (forward(with_moe_aux=True))."""
+    if "router" in p["mlp"]:
+        delta, aux = _moe_mlp(cfg, p["mlp"], _ln(p["ln_mlp"], h))
+    else:
+        delta, aux = _mlp(cfg, p["mlp"], _ln(p["ln_mlp"], h)), jnp.float32(0.0)
+    return _res_add(cfg, h, delta), aux
+
+
 def _pool_rows(cfg, p, hn, token_mask):
     """Attention-pool each row's T cell tokens into K learned slots.
 
@@ -302,12 +363,13 @@ def _unpool_rows(cfg, p, hn, s):
     return _attn(cfg, pp["unpool_attn"], hn, _ln(pp["ln_unpool"], s), None)
 
 
-def _block_ctx(cfg, p, h_ctx, token_mask, ctx_mask):
+def _block_ctx(cfg, p, h_ctx, token_mask, ctx_mask, skip_mlp: bool = False):
     """Context rows through one block; returns new state + row-attn K/V
     cache (the projected keys/values queries will attend to). With
     cfg.row_pool_slots the cache holds K pooled-slot K/Vs per row instead
     of T per-token ones — same [..., slot_axis, N, H, hd] layout, so the
-    decode path is shape-agnostic to pooling."""
+    decode path is shape-agnostic to pooling. ``skip_mlp`` stops before the
+    MLP step (the aux-collecting joint block applies it itself)."""
     h_ctx = _feat_attn_step(cfg, p, h_ctx, token_mask)
     if cfg.row_pool_slots:
         pp = p["pool"]
@@ -319,16 +381,18 @@ def _block_ctx(cfg, p, h_ctx, token_mask, ctx_mask):
         s = _res_add(cfg, s, _row_attn(cfg, p["row_attn"], sn, k, v, ctx_mask))
         s = jnp.swapaxes(s, -3, -2)  # [..., N, K, D]
         h_ctx = _res_add(cfg, h_ctx, _unpool_rows(cfg, p, hn, s))
-        return _mlp_step(cfg, p, h_ctx), (k, v)
-    hc = jnp.swapaxes(h_ctx, -3, -2)  # [..., T, N, D]
-    hc_n = _ln(p["ln_row"], hc).astype(jnp.dtype(cfg.dtype))
-    k, v = _project_kv(cfg, p["row_attn"], hc_n)
-    hc = _res_add(cfg, hc, _row_attn(cfg, p["row_attn"], hc_n, k, v, ctx_mask))
-    h_ctx = jnp.swapaxes(hc, -3, -2)
+    else:
+        hc = jnp.swapaxes(h_ctx, -3, -2)  # [..., T, N, D]
+        hc_n = _ln(p["ln_row"], hc).astype(jnp.dtype(cfg.dtype))
+        k, v = _project_kv(cfg, p["row_attn"], hc_n)
+        hc = _res_add(cfg, hc, _row_attn(cfg, p["row_attn"], hc_n, k, v, ctx_mask))
+        h_ctx = jnp.swapaxes(hc, -3, -2)
+    if skip_mlp:
+        return h_ctx, (k, v)
     return _mlp_step(cfg, p, h_ctx), (k, v)
 
 
-def _block_qry(cfg, p, h_qry, kv_cache, token_mask, ctx_mask):
+def _block_qry(cfg, p, h_qry, kv_cache, token_mask, ctx_mask, skip_mlp: bool = False):
     """Query rows through one block against the cached context K/V."""
     k, v = kv_cache
     h_qry = _feat_attn_step(cfg, p, h_qry, token_mask)
@@ -341,11 +405,13 @@ def _block_qry(cfg, p, h_qry, kv_cache, token_mask, ctx_mask):
         s = _res_add(cfg, s, _row_attn(cfg, p["row_attn"], sn, k, v, ctx_mask))
         s = jnp.swapaxes(s, -3, -2)  # [..., Q, K, D]
         h_qry = _res_add(cfg, h_qry, _unpool_rows(cfg, p, hn, s))
-        return _mlp_step(cfg, p, h_qry)
-    hq = jnp.swapaxes(h_qry, -3, -2)  # [..., T, Q, D]
-    hq_n = _ln(p["ln_row"], hq).astype(jnp.dtype(cfg.dtype))
-    hq = _res_add(cfg, hq, _row_attn(cfg, p["row_attn"], hq_n, k, v, ctx_mask))
-    h_qry = jnp.swapaxes(hq, -3, -2)
+    else:
+        hq = jnp.swapaxes(h_qry, -3, -2)  # [..., T, Q, D]
+        hq_n = _ln(p["ln_row"], hq).astype(jnp.dtype(cfg.dtype))
+        hq = _res_add(cfg, hq, _row_attn(cfg, p["row_attn"], hq_n, k, v, ctx_mask))
+        h_qry = jnp.swapaxes(hq, -3, -2)
+    if skip_mlp:
+        return h_qry
     return _mlp_step(cfg, p, h_qry)
 
 
@@ -353,6 +419,16 @@ def _block_joint(cfg, p, h_ctx, h_qry, token_mask, ctx_mask):
     h_ctx, kv = _block_ctx(cfg, p, h_ctx, token_mask, ctx_mask)
     h_qry = _block_qry(cfg, p, h_qry, kv, token_mask, ctx_mask)
     return h_ctx, h_qry
+
+
+def _block_joint_aux(cfg, p, h_ctx, h_qry, token_mask, ctx_mask):
+    """Joint block that also returns the layer's MoE load-balance aux loss
+    (context + query tokens both contribute — both route through the MLP)."""
+    h_ctx, kv = _block_ctx(cfg, p, h_ctx, token_mask, ctx_mask, skip_mlp=True)
+    h_qry = _block_qry(cfg, p, h_qry, kv, token_mask, ctx_mask, skip_mlp=True)
+    h_ctx, aux_c = _mlp_step_aux(cfg, p, h_ctx)
+    h_qry, aux_q = _mlp_step_aux(cfg, p, h_qry)
+    return h_ctx, h_qry, 0.5 * (aux_c + aux_q)
 
 
 # ---------------------------------------------------------------------------
@@ -402,7 +478,7 @@ def _masks(x_ctx, x_qry, feat_mask, ctx_mask):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(0, 7))
+@partial(jax.jit, static_argnums=(0, 7, 8))
 def forward(
     cfg: TabICAConfig,
     params: Params,
@@ -412,12 +488,30 @@ def forward(
     feat_mask: Optional[jnp.ndarray] = None,  # [..., F] active columns
     ctx_mask: Optional[jnp.ndarray] = None,  # [..., N] real rows
     remat: bool = False,
-) -> jnp.ndarray:
-    """Joint forward. Returns bar logits [..., Q, num_bars]."""
+    with_moe_aux: bool = False,
+):
+    """Joint forward. Returns bar logits [..., Q, num_bars]; with
+    ``with_moe_aux`` returns ``(logits, aux)`` where aux is the MoE
+    load-balance loss averaged over layers (0.0 for a dense model) — the
+    pretraining loss adds it weighted (pretrain/train.py batch_loss)."""
     feat_mask, token_mask, ctx_mask = _masks(x_ctx, x_qry, feat_mask, ctx_mask)
     e = params["embed"]
     h_ctx = _embed_ctx(cfg, e, x_ctx, y_ctx, feat_mask)
     h_qry = _embed_qry(cfg, e, x_qry, feat_mask)
+
+    if with_moe_aux:
+
+        def body(carry, p):
+            hc, hq, aux = carry
+            hc, hq, a = _block_joint_aux(cfg, p, hc, hq, token_mask, ctx_mask)
+            return (hc, hq, aux + a), None
+
+        if remat:
+            body = jax.checkpoint(body)
+        (h_ctx, h_qry, aux), _ = jax.lax.scan(
+            body, (h_ctx, h_qry, jnp.float32(0.0)), params["blocks"]
+        )
+        return _head(cfg, params["head"], h_qry), aux / cfg.num_layers
 
     def body(carry, p):
         hc, hq = carry

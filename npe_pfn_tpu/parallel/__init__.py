@@ -4,6 +4,10 @@ from .mesh import (  # noqa: F401
     shard_batch,
     sharded_autoregressive_sample,
 )
+from .expert_parallel import (  # noqa: F401
+    ep_place,
+    ep_pspecs,
+)
 from .pipeline import (  # noqa: F401
     pp_decode,
     pp_fit_encode,

@@ -58,6 +58,9 @@ class TrainConfig:
     # scalar, so the ramp costs zero recompiles.
     feat_curriculum_steps: int = 0
     feat_curriculum_init: int = 8
+    # Weight of the MoE load-balance aux loss (only used when
+    # cfg.num_experts > 0). Switch-Transformer default scale.
+    moe_aux_weight: float = 0.01
 
 
 def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
@@ -96,8 +99,11 @@ def batch_loss(
     params: Any,
     batch: prior.TaskBatch,
     remat: bool = True,
+    moe_aux_weight: float = 0.01,
 ) -> jnp.ndarray:
-    """Mean query-row NLL in context-normalized target space."""
+    """Mean query-row NLL in context-normalized target space (plus the
+    weighted MoE load-balance aux loss when cfg.num_experts > 0)."""
+    moe = cfg.num_experts > 0
 
     def one(x_ctx, y_ctx, x_qry, y_qry, feat_mask, ctx_mask):
         stats = regressor.compute_stats(x_ctx, y_ctx, ctx_mask)
@@ -108,16 +114,20 @@ def batch_loss(
         # Clip extreme normalized targets: beyond the bar range the tail
         # gradient is quadratic and a single freak task can destabilize bf16.
         yn_q = jnp.clip(yn_q, -cfg.bar_range, cfg.bar_range)
-        logits = transformer.forward(
-            cfg, params, xn_c, yn_c, xn_q, feat_mask, ctx_mask, remat
+        out = transformer.forward(
+            cfg, params, xn_c, yn_c, xn_q, feat_mask, ctx_mask, remat, moe
         )
-        return bar.nll(borders, logits, yn_q)
+        logits, aux = out if moe else (out, jnp.float32(0.0))
+        return bar.nll(borders, logits, yn_q), aux
 
-    nll = jax.vmap(one)(
+    nll, aux = jax.vmap(one)(
         batch.x_ctx, batch.y_ctx, batch.x_qry, batch.y_qry,
         batch.feat_mask, batch.ctx_mask,
     )
-    return jnp.mean(nll)
+    loss = jnp.mean(nll)
+    if moe:
+        loss = loss + moe_aux_weight * jnp.mean(aux)
+    return loss
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3, 4))
@@ -134,7 +144,8 @@ def train_step(
     data_rng, rng = jax.random.split(rng)
     batch = prior.sample_tasks(data_rng, tcfg.num_datasets, pcfg, max_feat)
     loss, grads = jax.value_and_grad(
-        lambda p: batch_loss(cfg, borders, p, batch)
+        lambda p: batch_loss(cfg, borders, p, batch,
+                             moe_aux_weight=tcfg.moe_aux_weight)
     )(params)
     opt = make_optimizer(tcfg)
     updates, opt_state = opt.update(grads, opt_state, params)

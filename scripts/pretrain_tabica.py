@@ -68,6 +68,20 @@ def main():
                    "attention (cuts the dominant HBM term from T*N^2 to "
                    "K*N^2, results/train_step_ab.json). 0 = off; requires a "
                    "from-scratch run")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="matmul compute dtype; float32 enables CPU smoke "
+                   "runs (the CPU backend cannot execute bf16 dots)")
+    p.add_argument("--num_experts", type=int, default=0,
+                   help="mixture-of-experts MLP: experts per block (0 = "
+                   "dense). Computed densely over experts (static shapes; "
+                   "the step is HBM-bound on attention scores, so the extra "
+                   "MLP FLOPs are largely hidden) — a capacity lever at "
+                   "near-constant step cost; A/B with profile_train_step.py")
+    p.add_argument("--moe_top_k", type=int, default=2,
+                   help="experts each token is routed to (top-k gating)")
+    p.add_argument("--moe_aux_weight", type=float, default=0.01,
+                   help="weight of the Switch-style load-balance aux loss")
     p.add_argument("--flash", choices=["auto", "on", "off"], default="auto",
                    help="row-attention flash mode; 'auto' uses the dense path "
                    "below 2048 context rows, which profiling showed is "
@@ -81,9 +95,12 @@ def main():
         num_layers=args.num_layers,
         max_features=args.max_features,
         num_bars=args.num_bars,
+        dtype=args.dtype,
         flash=args.flash,
         scores_dtype=args.scores_dtype,
         row_pool_slots=args.row_pool_slots,
+        num_experts=args.num_experts,
+        moe_top_k=args.moe_top_k,
     )
     tcfg = train.TrainConfig(
         num_datasets=args.num_datasets,
@@ -96,6 +113,7 @@ def main():
         val_every=args.val_every,
         feat_curriculum_steps=args.feat_curriculum_steps,
         feat_curriculum_init=args.feat_curriculum_init,
+        moe_aux_weight=args.moe_aux_weight,
     )
     pcfg = prior.PriorConfig(
         num_features=args.max_features,

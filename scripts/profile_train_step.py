@@ -48,6 +48,11 @@ def main():
                     choices=["float32", "bfloat16"],
                     help="storage dtype(s) of the dense-path attention "
                     "scores (repeatable; default: float32)")
+    ap.add_argument("--num_experts", type=int, default=0,
+                    help="MoE MLP experts per block (0 = dense); A/B the "
+                    "capacity-at-flat-step-cost hypothesis (scores, not "
+                    "MLP FLOPs, dominate the measured step)")
+    ap.add_argument("--moe_top_k", type=int, default=2)
     ap.add_argument("--log_loss_every", type=int, default=0,
                     help="print the loss every N steps (loss-parity runs)")
     ap.add_argument("--out", default=None)
@@ -76,6 +81,8 @@ def main():
             flash=mode,
             scores_dtype=sdt,
             row_pool_slots=args.row_pool_slots,
+            num_experts=args.num_experts,
+            moe_top_k=args.moe_top_k,
         )
         tcfg = T.TrainConfig(num_datasets=args.num_datasets, max_steps=1 << 30)
         pcfg = prior.PriorConfig(
@@ -130,6 +137,7 @@ def main():
                 "num_heads": args.num_heads,
                 "num_layers": args.num_layers,
                 "num_bars": args.num_bars,
+                "num_experts": args.num_experts,
             },
         }
         records.append(rec)
