@@ -83,6 +83,13 @@ class TabICAConfig:
     # Run the Pallas kernel in interpreter mode (CPU tests only).
     flash_interpret: bool = False
 
+    def __post_init__(self):
+        if self.num_experts and not (1 <= self.moe_top_k <= self.num_experts):
+            raise ValueError(
+                f"moe_top_k={self.moe_top_k} must be in [1, num_experts="
+                f"{self.num_experts}]"
+            )
+
     @property
     def head_dim(self) -> int:
         assert self.d_model % self.num_heads == 0

@@ -266,8 +266,9 @@ def _moe_mlp(cfg: TabICAConfig, p: Params, x: jnp.ndarray):
 
     Returns ``(out, aux)`` where ``aux`` is the Switch-style load-balance
     loss E * sum_e (f_e / k) * P_e — 1.0 under perfectly uniform routing,
-    approaching E under collapse (f_e = fraction of tokens routing to
-    expert e, P_e = mean router probability). All E experts run for every
+    approaching E/k under full collapse (f_e = fraction of tokens routing
+    to expert e, P_e = mean router probability; tests/test_moe.py anchors
+    both values). All E experts run for every
     token (einsum over the expert axis, static shapes, no dispatch); the
     gate zeroes the non-top-k contributions exactly, so sharding the expert
     axis over an "ep" mesh axis makes the combine the GSPMD-derived psum.

@@ -89,13 +89,13 @@ def ep_place(
     n_ep = mesh.shape[axis]
     if model.cfg.num_experts % n_ep != 0:
         raise ValueError(
-            f"num_experts={model.cfg.num_experts} must divide ep axis size {n_ep}"
+            f"ep axis size {n_ep} must divide num_experts={model.cfg.num_experts}"
         )
     if tp_axis is not None:
         n_tp = mesh.shape[tp_axis]
         if model.cfg.num_heads % n_tp != 0:
             raise ValueError(
-                f"num_heads={model.cfg.num_heads} must divide tp axis size {n_tp}"
+                f"tp axis size {n_tp} must divide num_heads={model.cfg.num_heads}"
             )
     specs = ep_pspecs(model.params, axis, tp_axis)
     params = jax.tree_util.tree_map(

@@ -74,7 +74,9 @@ def make_sharded_train_step(
             batch,
         )
         loss, grads = jax.value_and_grad(
-            lambda p: train_mod.batch_loss(cfg, borders, p, batch)
+            lambda p: train_mod.batch_loss(
+                cfg, borders, p, batch, moe_aux_weight=tcfg.moe_aux_weight
+            )
         )(params)
         opt = train_mod.make_optimizer(tcfg)
         updates, opt_state = opt.update(grads, opt_state, params)

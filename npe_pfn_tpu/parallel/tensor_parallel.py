@@ -87,13 +87,19 @@ def tp_place(mesh: Mesh, model: TabICAModel, axis: str = "tp") -> TabICAModel:
     hidden width must divide the axis size for an even split (XLA would
     otherwise pad).
     """
+    if model.cfg.num_experts:
+        raise ValueError(
+            "tp_place on a MoE model would leave the expert MLPs (the bulk "
+            "of the params) replicated; use expert_parallel.ep_place(mesh, "
+            "model, tp_axis=...) to shard experts and attention together"
+        )
     n_tp = mesh.shape[axis]
     if model.cfg.num_heads % n_tp != 0:
         raise ValueError(
-            f"num_heads={model.cfg.num_heads} must divide tp axis size {n_tp}"
+            f"tp axis size {n_tp} must divide num_heads={model.cfg.num_heads}"
         )
     if (model.cfg.d_model * model.cfg.mlp_ratio) % n_tp != 0:
-        raise ValueError("MLP hidden width must divide the tp axis size")
+        raise ValueError("the tp axis size must divide the MLP hidden width")
     specs = param_pspecs(model.params, axis)
     params = jax.tree_util.tree_map(
         lambda p, s: jax.device_put(p, NamedSharding(mesh, s)),

@@ -172,7 +172,11 @@ def eval_step(
 
     def one(i):
         batch = prior.sample_tasks(jax.random.fold_in(rng, i), 32, pcfg)
-        return batch_loss(cfg, borders, params, batch, remat=False)
+        # Pure NLL: the MoE aux term is a training regularizer, not a model
+        # quality metric — including it would bias best-val selection and
+        # make MoE val numbers incomparable to dense baselines.
+        return batch_loss(cfg, borders, params, batch, remat=False,
+                          moe_aux_weight=0.0)
 
     return jnp.mean(jax.lax.map(one, jnp.arange(num_batches)))
 

@@ -223,6 +223,39 @@ def test_ep_place_validation():
         ep_place(mesh, m3)
 
 
+def test_config_and_tp_place_validation():
+    # moe_top_k must fit within num_experts — caught at config construction,
+    # not as an opaque trace-time top_k error.
+    with pytest.raises(ValueError):
+        _cfg(num_experts=1, moe_top_k=2)
+    # tp_place on a MoE model would silently replicate the expert weights;
+    # it must refuse and point at ep_place(tp_axis=...).
+    from npe_pfn_tpu.parallel import tp_place
+
+    m = _model()
+    mesh = Mesh(np.array(jax.devices()[:4]), ("tp",))
+    with pytest.raises(ValueError, match="ep_place"):
+        tp_place(mesh, m)
+
+
+def test_eval_step_excludes_moe_aux():
+    """Validation must be pure NLL: same params, aux weight has no effect."""
+    from npe_pfn_tpu.pretrain import prior, train
+
+    cfg = _cfg(max_features=8, num_layers=1)
+    m = TabICAModel.create(jax.random.PRNGKey(0), cfg)
+    pcfg = prior.PriorConfig(
+        num_features=8, max_active_features=6, num_ctx=32, num_qry=8, hidden=16
+    )
+    val = train.eval_step(cfg, m.params, pcfg, m.borders, jax.random.PRNGKey(2),
+                          num_batches=1)
+    batch = prior.sample_tasks(jax.random.fold_in(jax.random.PRNGKey(2), 0),
+                               32, pcfg)
+    pure = train.batch_loss(cfg, m.borders, m.params, batch, remat=False,
+                            moe_aux_weight=0.0)
+    np.testing.assert_allclose(float(val), float(pure), rtol=1e-5)
+
+
 def test_moe_checkpoint_roundtrip(tmp_path):
     from npe_pfn_tpu.models import checkpoint
 
