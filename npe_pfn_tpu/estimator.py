@@ -713,6 +713,19 @@ class NPEPFN:
             )
         return theta[:num], lp[:num]
 
+    def _require_no_ensembles(self, api: str) -> None:
+        """Batched APIs run the plain (single-model, identity-order) sampler;
+        silently honoring an ensemble config there would make batched and
+        single-obs calls sample DIFFERENT distributions for the same
+        estimator. Fail loudly instead until the batched paths implement
+        ensembling."""
+        if self.num_ensembles > 1 or self.num_order_ensembles > 1:
+            raise NotImplementedError(
+                f"{api} does not support num_ensembles/num_order_ensembles; "
+                "use sample()/log_prob() (which do), or construct a "
+                "non-ensembled estimator for batched use"
+            )
+
     def _within_support(self, theta: Array) -> Array:
         """Prior-support mask (npe_pfn.py:581-600); everything accepted when
         no prior is set."""
@@ -766,7 +779,7 @@ class NPEPFN:
                 return (filled < num_samples) & (it < max_iters)
 
             def body(c):
-                it, filled, acc_s, acc_lp, _ls, _ll, tot = c
+                it, filled, acc_s, acc_lp, _ls, _ll, _lna, tot = c
                 k = jax.random.fold_in(rng, it)
                 s, lp = self._raw_sample(
                     k, x_o, batch, theta_ctx, x_ctx, ctx_mask, model=model
@@ -788,19 +801,27 @@ class NPEPFN:
                 take = jnp.minimum(n_acc, jnp.int32(num_samples) - filled)
                 return (
                     it + 1, filled + take, acc_s, acc_lp,
-                    s, lp, tot + n_acc,
+                    s_sorted, lp_sorted, n_acc, tot + n_acc,
                 )
 
-            it, filled, acc_s, acc_lp, last_s, last_lp, tot = jax.lax.while_loop(
-                cond, body,
-                (i0, i0, acc_s0, acc_lp0, last_s0, last_lp0, i0),
+            it, filled, acc_s, acc_lp, last_s, last_lp, last_na, tot = (
+                jax.lax.while_loop(
+                    cond, body,
+                    (i0, i0, acc_s0, acc_lp0, last_s0, last_lp0, i0, i0),
+                )
             )
             # Escape hatch (accept_reject_sampler.py:74-77): unconditionally
-            # tile the last unfiltered batch at the fill offset — when the
-            # loop filled everything this only touches junk rows beyond
-            # num_samples; when it fell short, the deficit is covered.
-            fill_s = jnp.concatenate([last_s] * reps, axis=0)[:num_samples]
-            fill_lp = jnp.concatenate([last_lp] * reps, axis=0)[:num_samples]
+            # write the last batch's UNUSED rows at the fill offset — in the
+            # shortfall case the loop consumed every accepted row of the
+            # final batch, so rotating the sorted batch past n_acc (rejected
+            # rows first) never duplicates a returned sample unless the
+            # deficit exceeds the rejected count. When the loop filled
+            # everything this only touches junk rows beyond num_samples.
+            roll = (jnp.arange(batch) + last_na) % batch
+            rolled_s = jnp.take(last_s, roll, axis=0)
+            rolled_lp = jnp.take(last_lp, roll, axis=0)
+            fill_s = jnp.concatenate([rolled_s] * reps, axis=0)[:num_samples]
+            fill_lp = jnp.concatenate([rolled_lp] * reps, axis=0)[:num_samples]
             acc_s = jax.lax.dynamic_update_slice_in_dim(
                 acc_s, fill_s, filled, axis=0
             )
@@ -964,8 +985,17 @@ class NPEPFN:
         with unfiltered samples — the reference's documented escape hatch
         (accept_reject_sampler.py:74-77) — and the acceptance rate is
         reported so callers can detect it.
+
+        Log-prob caveat: with ``num_order_ensembles > 1`` the returned
+        per-row log-probs are each row's density under its OWN sampled
+        factorization order, not the K-order mixture that ``log_prob()``
+        evaluates. Consumers that need the actual proposal density
+        (importance weights, threshold calibration) must re-score via
+        ``log_prob()`` — PosteriorSupport does (support.py).
         """
         num_samples = self._num_from_shape(num_samples)
+        if max_iters < 1:
+            raise ValueError("max_iters must be >= 1")
         return_log_probs = return_log_probs or with_log_prob
         show_progress = (
             self.show_progress_bars if show_progress is None else show_progress
@@ -1051,6 +1081,7 @@ class NPEPFN:
         num_samples = self._num_from_shape(num_samples)
         if max_iters < 1:
             raise ValueError("max_iters must be >= 1")
+        self._require_no_ensembles("sample_batched")
         return_log_probs = return_log_probs or with_log_prob
         x = jnp.asarray(x, jnp.float32)
         if x.ndim == 1:
@@ -1188,6 +1219,7 @@ class NPEPFN:
         `_within_support` downstream if needed. Returns [M, num_samples, dθ].
         """
         num_samples = self._num_from_shape(num_samples)
+        self._require_no_ensembles("sample_batched_filtered")
         x = jnp.asarray(x, jnp.float32)
         if x.ndim == 1:
             x = x[None]
@@ -1195,8 +1227,12 @@ class NPEPFN:
             x = self._prep_obs(x)
         m, dx = x.shape
         rng = self._next_rng(rng)
-        s_pad = _round_up(num_samples, min(self.qry_chunk, 256))
-        chunk = min(self.qry_chunk, s_pad)
+        # Choose the chunk first, then pad the sample count to a chunk
+        # multiple — autoregressive_sample requires q % chunk == 0, and
+        # e.g. num_samples=1280 with qry_chunk=1024 would otherwise yield
+        # s_pad=1280, chunk=1024 and trip its assertion.
+        chunk = min(self.qry_chunk, _round_up(num_samples, 256))
+        s_pad = _round_up(num_samples, chunk)
 
         vmapped = jax.vmap(
             lambda tc, xc, cm, xq, k: autoregressive_sample(
@@ -1242,6 +1278,7 @@ class NPEPFN:
         npe_pfn.py:436) so 100k-θ evaluations stay within chip memory."""
         mode = mode or self.log_prob_mode
         theta = self._validate(jnp.asarray(theta, jnp.float32), "theta")
+        x_raw = x  # sample() runs _prep_obs itself; pass the raw observation
         x = self._prep_obs(x)
         if x.ndim == 2:
             x = x[0]
@@ -1293,7 +1330,10 @@ class NPEPFN:
         if mode == "ratio_based":
             if self._ratio.refit_necessary(x, self._ctx_version, num_ratio_samples, padding):
                 s_rng, f_rng, rng = jax.random.split(rng, 3)
-                post = self.sample(num_ratio_samples, x, rng=s_rng)
+                # x_raw, not x: sample() applies the embedding net itself —
+                # passing the already-embedded x would embed twice (shape
+                # crash, or silently wrong context filtering when dims match).
+                post = self.sample(num_ratio_samples, x_raw, rng=s_rng)
                 self._ratio.model = self.model
                 self._ratio.fit(f_rng, post, x, self._ctx_version, padding)
             return self._ratio.ratio_log_probs(
@@ -1315,6 +1355,7 @@ class NPEPFN:
 
         theta: [M, S, dθ]; x: [M, dx] → [M, S].
         """
+        self._require_no_ensembles("log_prob_batched")
         theta = jnp.asarray(theta, jnp.float32)
         x = jnp.asarray(x, jnp.float32)
         if self.embedding_net is not None:

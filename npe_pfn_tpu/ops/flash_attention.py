@@ -35,7 +35,7 @@ def _flash_kernel(
     q_ref,  # [1, Bq, hd]
     k_ref,  # [1, Bk, hd]
     v_ref,  # [1, Bk, hd]
-    mask_ref,  # [1, Bk] float32 (1.0 = real row)
+    mask_ref,  # [1, 1, Bk] float32 (1.0 = real row)
     out_ref,  # [1, Bq, hd]
     m_scratch,  # [Bq, 128] f32
     l_scratch,  # [Bq, 128] f32
@@ -55,7 +55,7 @@ def _flash_kernel(
     q = q_ref[0]  # [Bq, hd]
     k = k_ref[0]  # [Bk, hd]
     v = v_ref[0]  # [Bk, hd]
-    mask = mask_ref[0, :]  # [Bk]
+    mask = mask_ref[0, 0, :]  # [Bk]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -117,12 +117,7 @@ def flash_row_attention(
     if lk_p != lk:
         k = jnp.pad(k, ((0, 0), (0, lk_p - lk), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, lk_p - lk), (0, 0), (0, 0)))
-    if kv_mask.ndim == 1:
-        mask_f = jnp.pad(kv_mask.astype(jnp.float32), (0, lk_p - lk))[None, :]
-        mask_index = lambda i, iq, ik: (0, ik)
-    else:
-        mask_f = jnp.pad(kv_mask.astype(jnp.float32), ((0, 0), (0, lk_p - lk)))
-        mask_index = lambda i, iq, ik: (i // h, ik)
+    mask_f, mask_index = _mask_operand(kv_mask, h, lk, lk_p)
 
     # Fold (batch, heads) into one leading grid dim so every block is
     # [1, rows, hd] — rows divisible by 8, hd equal to the full trailing
@@ -157,7 +152,7 @@ def flash_row_attention(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, block_k),
+                (1, 1, block_k),
                 mask_index,
                 memory_space=pltpu.VMEM,
             ),
@@ -181,6 +176,25 @@ def flash_row_attention(
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def _mask_operand(kv_mask, h: int, lk: int, lk_p: int):
+    """Build the kernel's mask operand and its BlockSpec index map.
+
+    The mask rides as [B_or_1, 1, Lk_p] with a (1, 1, Bk) block: the
+    block's last-two dims are (1, Bk), and the sublane dim (1) equals the
+    FULL middle array dim, which satisfies Mosaic's block-shape tiling
+    rule for any batch count. A 2-D [B, Lk] operand with (1, Bk) blocks
+    would violate it whenever B > 1 — the same class of layout crash the
+    lse output hit on real TPUs in round 3 (interpret mode doesn't check
+    tiling)."""
+    if kv_mask.ndim == 1:
+        mask_f = jnp.pad(kv_mask.astype(jnp.float32), (0, lk_p - lk))
+        mask_f = mask_f[None, None, :]
+        return mask_f, (lambda i, iq, ik: (0, 0, ik))
+    mask_f = jnp.pad(kv_mask.astype(jnp.float32), ((0, 0), (0, lk_p - lk)))
+    mask_f = mask_f[:, None, :]
+    return mask_f, (lambda i, iq, ik: (i // h, 0, ik))
 
 
 def _any_valid_gate(kv_mask, dtype):
@@ -226,7 +240,7 @@ def _flash_kernel_lse(
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
-    mask = mask_ref[0, :]
+    mask = mask_ref[0, 0, :]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -276,12 +290,7 @@ def _flash_fwd_lse(q, k, v, kv_mask, block_q=256, block_k=1024, interpret=False)
     if lk_p != lk:
         k = jnp.pad(k, ((0, 0), (0, lk_p - lk), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, lk_p - lk), (0, 0), (0, 0)))
-    if kv_mask.ndim == 1:
-        mask_f = jnp.pad(kv_mask.astype(jnp.float32), (0, lk_p - lk))[None, :]
-        mask_index = lambda i, iq, ik: (0, ik)
-    else:
-        mask_f = jnp.pad(kv_mask.astype(jnp.float32), ((0, 0), (0, lk_p - lk)))
-        mask_index = lambda i, iq, ik: (i // h, ik)
+    mask_f, mask_index = _mask_operand(kv_mask, h, lk, lk_p)
 
     qf = jnp.swapaxes(q, 1, 2).reshape(b * h, lq_p, hd)
     kf = jnp.swapaxes(k, 1, 2).reshape(b * h, lk_p, hd)
@@ -301,7 +310,7 @@ def _flash_fwd_lse(q, k, v, kv_mask, block_q=256, block_k=1024, interpret=False)
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, hd), lambda i, iq, ik: (i, ik, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k), mask_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k), mask_index, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, hd), lambda i, iq, ik: (i, iq, 0),

@@ -66,6 +66,8 @@ def accept_reject_sample(
 
     Returns (samples [num_samples, d], aux trimmed alike, acceptance_rate).
     """
+    if max_iters < 1:
+        raise ValueError("max_iters must be >= 1")
     batch_size = batch_size or num_samples
     progress = Progress(num_samples, "accept_reject", enabled=show_progress)
 
@@ -84,7 +86,7 @@ def accept_reject_sample(
             samples, aux, accept_reject_fn(samples)
         )
         n_acc = int(n_acc_dev)  # the one host sync per iteration
-        last = (samples, aux)
+        last = (sorted_s, sorted_aux, n_acc)
         if acc_samples is None:
             # Slack so a full batch written at offset num_samples-1 fits.
             slack = num_samples + batch_size
@@ -111,18 +113,23 @@ def accept_reject_sample(
             break
     if filled < num_samples:
         # Escape hatch (accept_reject_sampler.py:74-77): fill with the last
-        # unfiltered batch (tiled if the batch is smaller than the deficit);
-        # callers see it in the acceptance rate.
+        # batch's UNUSED rows. In the shortfall case every accepted row of
+        # the final batch was already consumed into the accumulator, so the
+        # sorted batch rotated past n_acc (rejected rows first) never
+        # duplicates a returned sample unless the deficit exceeds the
+        # rejected count; callers see the hatch in the acceptance rate.
         deficit = num_samples - filled
         reps = -(-deficit // batch_size)
+        last_s, last_aux, last_na = last
+        roll_idx = (jnp.arange(batch_size) + last_na) % batch_size
 
         def fill(a):
-            tiled = jnp.concatenate([a] * reps, axis=0)[:deficit]
-            return tiled
+            rolled = jnp.take(a, roll_idx, axis=0)
+            return jnp.concatenate([rolled] * reps, axis=0)[:deficit]
 
-        acc_samples = write(acc_samples, fill(last[0]), filled)
+        acc_samples = write(acc_samples, fill(last_s), filled)
         acc_aux = jax.tree_util.tree_map(
-            lambda A, a: write(A, fill(a), filled), acc_aux, last[1]
+            lambda A, a: write(A, fill(a), filled), acc_aux, last_aux
         )
     samples_out = acc_samples[:num_samples]
     aux_out = jax.tree_util.tree_map(lambda A: A[:num_samples], acc_aux)

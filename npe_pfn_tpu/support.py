@@ -117,9 +117,19 @@ class PosteriorSupport(Distribution):
 
         # Serving path: all per-dimension context encodings for x_o are
         # precomputed once; every threshold-tuning draw, rejection round and
-        # log_prob call below is decode-only (npe_pfn_tpu.serving).
+        # log_prob call below is decode-only (npe_pfn_tpu.serving). The cache
+        # runs the plain identity-order sampler, so it is only a faithful
+        # stand-in for a non-ensembled estimator — skip it otherwise.
         self._cached = None
-        if hasattr(posterior, "model") and hasattr(posterior, "get_context"):
+        ensembled = (
+            getattr(posterior, "num_ensembles", 1) > 1
+            or getattr(posterior, "num_order_ensembles", 1) > 1
+        )
+        if (
+            not ensembled
+            and hasattr(posterior, "model")
+            and hasattr(posterior, "get_context")
+        ):
             from .serving import CachedPosterior
 
             self._rng, ck = jax.random.split(self._rng)
@@ -135,6 +145,13 @@ class PosteriorSupport(Distribution):
             samples, log_probs = posterior.sample(
                 num_samples_to_estimate_support, self.x_o, rng=k, return_log_probs=True
             )
+        if getattr(posterior, "num_order_ensembles", 1) > 1:
+            # Under factorization-order ensembling sample() reports each
+            # row's density under its OWN order, while log_prob (what
+            # support_check scores candidates with) reports the K-order
+            # mixture. Re-score so the threshold and the candidate scores
+            # live on the same density.
+            log_probs = self._posterior_log_prob(samples)
         self._posterior_samples = samples
         self.log_prob_threshold = float(
             jnp.quantile(log_probs, allowed_false_negatives)
@@ -142,11 +159,23 @@ class PosteriorSupport(Distribution):
         # Bounding box of the accepted posterior mass, used for pre-rejection
         # (the reference learns it from the first full batch,
         # support_posterior.py:137-142; we have the tuning samples already).
-        lo = jnp.min(samples, axis=0)
-        hi = jnp.max(samples, axis=0)
-        span = jnp.maximum(hi - lo, 1e-12)
-        self._box_low = lo - 0.05 * span
-        self._box_high = hi + 0.05 * span
+        # With use_constrained_prior the box tightens to the quantile-trimmed
+        # posterior mass (the reference's constrained-prior mechanism,
+        # support_posterior.py: proposal drawn from the trimmed posterior
+        # box) instead of the padded min/max envelope.
+        self.use_constrained_prior = use_constrained_prior
+        self.constrained_prior_quantile = constrained_prior_quanitle
+        if use_constrained_prior and constrained_prior_quanitle > 0:
+            lo = jnp.quantile(samples, constrained_prior_quanitle, axis=0)
+            hi = jnp.quantile(samples, 1.0 - constrained_prior_quanitle, axis=0)
+            self._box_low = lo
+            self._box_high = hi
+        else:
+            lo = jnp.min(samples, axis=0)
+            hi = jnp.max(samples, axis=0)
+            span = jnp.maximum(hi - lo, 1e-12)
+            self._box_low = lo - 0.05 * span
+            self._box_high = hi + 0.05 * span
         self.last_diagnostics: dict = {}
 
     @property
@@ -262,17 +291,34 @@ class PosteriorSupport(Distribution):
             samples, post_lp = self.posterior.sample(
                 total, self.x_o, rng=k_draw, return_log_probs=True
             )
+        if getattr(self.posterior, "num_order_ensembles", 1) > 1:
+            # SIR needs the density of the ACTUAL proposal (the K-order
+            # mixture); sample()'s per-own-order densities would bias the
+            # importance weights.
+            post_lp = self._posterior_log_prob(samples)
         # Truncated-prior / posterior importance weights; adaptive threshold
         # re-tuned on this batch like the reference (support_posterior.py:219-220).
         thr = jnp.quantile(post_lp, self.allowed_false_negatives)
         prior_lp = self.prior.log_prob(samples)
         trunc_lp = jnp.where(post_lp > thr, prior_lp, -jnp.inf)
         log_w = (trunc_lp - post_lp).reshape(num_samples, m)
-        idx = jax.random.categorical(k_cat, log_w, axis=-1)  # one per group
+        # Degenerate groups (every member below threshold / out of prior
+        # support): categorical over all -inf would deterministically pick
+        # index 0 — an out-of-truncation sample. Fall back to uniform
+        # resampling within those groups and report how many.
+        dead = ~jnp.any(jnp.isfinite(log_w), axis=-1)
+        log_w_safe = jnp.where(dead[:, None], 0.0, log_w)
+        idx = jax.random.categorical(k_cat, log_w_safe, axis=-1)  # one per group
         out = samples.reshape(num_samples, m, -1)[jnp.arange(num_samples), idx]
         # ESS diagnostic (support_posterior.py:232, 252-257).
         w = jax.nn.softmax(log_w.reshape(-1))
         ess = float(1.0 / jnp.sum(w**2)) / total
-        self.last_diagnostics = {"ess_fraction": ess}
+        n_dead = int(jnp.sum(dead))
+        self.last_diagnostics = {"ess_fraction": ess, "dead_groups": n_dead}
+        if n_dead:
+            logger.warning(
+                "PosteriorSupport.sir: %d/%d groups had no in-truncation "
+                "candidate; resampled uniformly", n_dead, num_samples,
+            )
         logger.info("PosteriorSupport.sir: ESS fraction %.4f", ess)
         return out, ess

@@ -409,3 +409,82 @@ def test_fused_sample_batched_no_prior(model, sims):
     assert out.shape == (2, 12, DIM_THETA)
     assert np.all(np.isfinite(np.asarray(out)))
     assert est.last_diagnostics["acceptance_rate"] == 1.0
+
+
+# -- round-3 review regression tests -----------------------------------------
+
+
+def test_sample_batched_filtered_nonaligned_count(model, sims):
+    """num_samples whose 256-granule pad is not a qry_chunk multiple used to
+    trip autoregressive_sample's q % chunk assertion (e.g. 1280 w/ 1024)."""
+    est = make_estimator(model, sims, filter_context_size=32, qry_chunk=32)
+    out = est.sample_batched_filtered(40, sims[1][:2], rng=jax.random.PRNGKey(40))
+    assert out.shape == (2, 40, DIM_THETA)
+
+
+def test_batched_apis_reject_ensembles(model, sims):
+    for kw in ({"num_ensembles": 2}, {"num_order_ensembles": 2}):
+        est = make_estimator(model, sims, **kw)
+        with pytest.raises(NotImplementedError):
+            est.sample_batched(8, sims[1][:2])
+        with pytest.raises(NotImplementedError):
+            est.sample_batched_filtered(8, sims[1][:2])
+        with pytest.raises(NotImplementedError):
+            est.log_prob_batched(jnp.zeros((2, 4, DIM_THETA)), sims[1][:2])
+
+
+def test_sample_validates_max_iters(model, sims):
+    est = make_estimator(model, sims)
+    with pytest.raises(ValueError):
+        est.sample(8, sims[1][0], max_iters=0)
+
+
+def test_escape_hatch_no_duplicates_partial_acceptance(model, sims):
+    """With partial acceptance and max_iters=1 the hatch must fill from the
+    last batch's UNUSED (rejected) rows — never re-emitting accepted rows
+    already in the output (round-3 review: the old fill tiled from row 0)."""
+    # A box prior that accepts roughly half the proposals.
+    est = make_estimator(
+        model, sims,
+        prior=distributions.BoxUniform(
+            low=jnp.array([-20.0, 0.0]), high=jnp.array([20.0, 20.0])
+        ),
+        qry_chunk=32,
+    )
+    x_o = sims[1][0]
+    out, acc = est.sample(
+        30, x_o, rng=jax.random.PRNGKey(50), max_iters=1,
+        return_acceptance_rate=True,
+    )
+    assert 0.0 < acc < 1.0  # genuinely partial
+    rows = np.asarray(out)
+    uniq = np.unique(rows, axis=0)
+    assert uniq.shape[0] == rows.shape[0], "duplicate rows in escape-hatch fill"
+
+
+def test_ratio_log_prob_with_embedding_net(model, sims):
+    """ratio_based log_prob used to re-embed the observation inside its
+    internal sample() call (double embedding -> crash or wrong context)."""
+    w = jax.random.normal(jax.random.PRNGKey(60), (DIM_X, DIM_X + 2))
+
+    def embed(xb):
+        return xb @ w  # dx -> dx+2: double application would shape-crash
+
+    theta, x = sims
+    prior = distributions.BoxUniform(
+        low=-3 * jnp.ones(DIM_THETA), high=3 * jnp.ones(DIM_THETA)
+    )
+    est = NPEPFN(
+        prior=prior, model=TabICAModel.create(jax.random.PRNGKey(2), TabICAConfig(
+            d_model=32, num_heads=2, num_layers=2, max_features=8,
+            num_bars=32, dtype="float32",
+        )), filter_context_size=64, qry_chunk=32, ratio_context_size=64,
+        embedding_net=embed,
+    )
+    est.append_simulations(theta, x)
+    lp = est.log_prob(
+        jnp.zeros((4, DIM_THETA)), x[0], mode="ratio_based",
+        num_ratio_samples=64,
+    )
+    assert lp.shape == (4,)
+    assert np.all(np.isfinite(np.asarray(lp)))
