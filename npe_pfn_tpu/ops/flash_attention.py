@@ -35,7 +35,7 @@ def _flash_kernel(
     q_ref,  # [1, Bq, hd]
     k_ref,  # [1, Bk, hd]
     v_ref,  # [1, Bk, hd]
-    mask_ref,  # [1, 1, Bk] float32 (1.0 = real row)
+    mask_ref,  # [1, Bk] (shared) or [1, 1, Bk] (per-batch) f32; 1.0 = real row
     out_ref,  # [1, Bq, hd]
     m_scratch,  # [Bq, 128] f32
     l_scratch,  # [Bq, 128] f32
@@ -43,6 +43,7 @@ def _flash_kernel(
     *,
     scale: float,
     num_k_blocks: int,
+    mask_3d: bool,
 ):
     kb = pl.program_id(2)
 
@@ -55,7 +56,7 @@ def _flash_kernel(
     q = q_ref[0]  # [Bq, hd]
     k = k_ref[0]  # [Bk, hd]
     v = v_ref[0]  # [Bk, hd]
-    mask = mask_ref[0, 0, :]  # [Bk]
+    mask = mask_ref[0, 0, :] if mask_3d else mask_ref[0, :]  # [Bk]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -117,7 +118,7 @@ def flash_row_attention(
     if lk_p != lk:
         k = jnp.pad(k, ((0, 0), (0, lk_p - lk), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, lk_p - lk), (0, 0), (0, 0)))
-    mask_f, mask_index = _mask_operand(kv_mask, h, lk, lk_p)
+    mask_f, mask_spec, mask_3d = _mask_operand(kv_mask, h, lk, lk_p, block_k)
 
     # Fold (batch, heads) into one leading grid dim so every block is
     # [1, rows, hd] — rows divisible by 8, hd equal to the full trailing
@@ -130,7 +131,7 @@ def flash_row_attention(
     grid = (b * h, lq_p // block_q, num_k_blocks)
 
     kernel = functools.partial(
-        _flash_kernel, scale=scale, num_k_blocks=num_k_blocks
+        _flash_kernel, scale=scale, num_k_blocks=num_k_blocks, mask_3d=mask_3d
     )
     out = pl.pallas_call(
         kernel,
@@ -151,11 +152,7 @@ def flash_row_attention(
                 lambda i, iq, ik: (i, ik, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, 1, block_k),
-                mask_index,
-                memory_space=pltpu.VMEM,
-            ),
+            mask_spec,
         ],
         out_specs=pl.BlockSpec(
             (1, block_q, hd),
@@ -178,23 +175,33 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _mask_operand(kv_mask, h: int, lk: int, lk_p: int):
-    """Build the kernel's mask operand and its BlockSpec index map.
+def _mask_operand(kv_mask, h: int, lk: int, lk_p: int, block_k: int):
+    """Build the kernel's mask operand, its BlockSpec, and a static rank
+    flag for the kernel.
 
-    The mask rides as [B_or_1, 1, Lk_p] with a (1, 1, Bk) block: the
-    block's last-two dims are (1, Bk), and the sublane dim (1) equals the
-    FULL middle array dim, which satisfies Mosaic's block-shape tiling
-    rule for any batch count. A 2-D [B, Lk] operand with (1, Bk) blocks
-    would violate it whenever B > 1 — the same class of layout crash the
-    lse output hit on real TPUs in round 3 (interpret mode doesn't check
-    tiling)."""
+    Shared mask ([Lk]): the hardware-proven 2-D layout — [1, Lk_p] with a
+    (1, Bk) block, legal because the sublane block dim (1) equals the full
+    array dim (round-3 flash benches ran exactly this). Per-batch mask
+    ([B, Lk], B > 1): the same 2-D layout would violate Mosaic's
+    block-shape tiling rule (block sublane dim 1 vs array dim B — the same
+    class of crash the lse output hit on real TPUs in round 3; interpret
+    mode doesn't check tiling), so it rides as [B, 1, Lk_p] with a
+    (1, 1, Bk) block — the block's last-two dims are (1, Bk) with the
+    sublane dim equal to the FULL middle dim (1), legal for any B."""
     if kv_mask.ndim == 1:
-        mask_f = jnp.pad(kv_mask.astype(jnp.float32), (0, lk_p - lk))
-        mask_f = mask_f[None, None, :]
-        return mask_f, (lambda i, iq, ik: (0, 0, ik))
+        mask_f = jnp.pad(kv_mask.astype(jnp.float32), (0, lk_p - lk))[None, :]
+        spec = pl.BlockSpec(
+            (1, block_k), lambda i, iq, ik: (0, ik), memory_space=pltpu.VMEM
+        )
+        return mask_f, spec, False
     mask_f = jnp.pad(kv_mask.astype(jnp.float32), ((0, 0), (0, lk_p - lk)))
     mask_f = mask_f[:, None, :]
-    return mask_f, (lambda i, iq, ik: (i // h, 0, ik))
+    spec = pl.BlockSpec(
+        (1, 1, block_k),
+        lambda i, iq, ik: (i // h, 0, ik),
+        memory_space=pltpu.VMEM,
+    )
+    return mask_f, spec, True
 
 
 def _any_valid_gate(kv_mask, dtype):
@@ -228,6 +235,7 @@ def _any_valid_gate(kv_mask, dtype):
 def _flash_kernel_lse(
     q_ref, k_ref, v_ref, mask_ref, out_ref, lse_ref,
     m_scratch, l_scratch, acc_scratch, *, scale: float, num_k_blocks: int,
+    mask_3d: bool,
 ):
     kb = pl.program_id(2)
 
@@ -240,7 +248,7 @@ def _flash_kernel_lse(
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
-    mask = mask_ref[0, 0, :]
+    mask = mask_ref[0, 0, :] if mask_3d else mask_ref[0, :]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -290,7 +298,7 @@ def _flash_fwd_lse(q, k, v, kv_mask, block_q=256, block_k=1024, interpret=False)
     if lk_p != lk:
         k = jnp.pad(k, ((0, 0), (0, lk_p - lk), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, lk_p - lk), (0, 0), (0, 0)))
-    mask_f, mask_index = _mask_operand(kv_mask, h, lk, lk_p)
+    mask_f, mask_spec, mask_3d = _mask_operand(kv_mask, h, lk, lk_p, block_k)
 
     qf = jnp.swapaxes(q, 1, 2).reshape(b * h, lq_p, hd)
     kf = jnp.swapaxes(k, 1, 2).reshape(b * h, lk_p, hd)
@@ -298,7 +306,8 @@ def _flash_fwd_lse(q, k, v, kv_mask, block_q=256, block_k=1024, interpret=False)
     num_k_blocks = lk_p // block_k
     grid = (b * h, lq_p // block_q, num_k_blocks)
     kernel = functools.partial(
-        _flash_kernel_lse, scale=scale, num_k_blocks=num_k_blocks
+        _flash_kernel_lse, scale=scale, num_k_blocks=num_k_blocks,
+        mask_3d=mask_3d,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -310,7 +319,7 @@ def _flash_fwd_lse(q, k, v, kv_mask, block_q=256, block_k=1024, interpret=False)
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, hd), lambda i, iq, ik: (i, ik, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k), mask_index, memory_space=pltpu.VMEM),
+            mask_spec,
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, hd), lambda i, iq, ik: (i, iq, 0),
