@@ -713,18 +713,74 @@ class NPEPFN:
             )
         return theta[:num], lp[:num]
 
-    def _require_no_ensembles(self, api: str) -> None:
-        """Batched APIs run the plain (single-model, identity-order) sampler;
-        silently honoring an ensemble config there would make batched and
-        single-obs calls sample DIFFERENT distributions for the same
-        estimator. Fail loudly instead until the batched paths implement
-        ensembling."""
-        if self.num_ensembles > 1 or self.num_order_ensembles > 1:
-            raise NotImplementedError(
-                f"{api} does not support num_ensembles/num_order_ensembles; "
-                "use sample()/log_prob() (which do), or construct a "
-                "non-ensembled estimator for batched use"
+    def _draw_group(self, rng, x: Array, n_over: int, ctx,
+                    model: Optional[TabICAModel] = None):
+        """Draw ``n_over`` proposals for EACH of m observations in one kernel
+        pass, honoring the configured ensemble mode — the heterogeneous-rows
+        analog of ``_raw_sample`` (batched APIs sample the same distribution
+        as single-obs ``sample()`` for any ensemble config).
+
+        With order-ensembling the per-obs pool interleaves the K orders so
+        rejection trims and escape-hatch fills stay balanced across the
+        mixture; callers align ``n_over`` to a multiple of
+        ``num_order_ensembles``. Returns (theta [m,n_over,dθ], lp [m,n_over])
+        where lp is each row's density under its own factorization (order
+        path) or the member-mixture density (context-split path), matching
+        ``_raw_sample``.
+        """
+        model = self.model if model is None else model
+        theta_ctx, x_ctx, ctx_mask = ctx
+        m, dx = x.shape
+        dth = theta_ctx.shape[-1]
+
+        def rows(per, key, sampler):
+            q = _round_up(m * per, self.qry_chunk)
+            x_qry = jnp.repeat(x, per, axis=0)
+            x_qry = jnp.concatenate(
+                [x_qry, jnp.zeros((q - m * per, dx), x.dtype)], axis=0
             )
+            t, l = sampler(x_qry, key)
+            return (
+                t[: m * per].reshape(m, per, dth),
+                l[: m * per].reshape(m, per),
+            )
+
+        if self.num_ensembles > 1:
+            tc, xc, cm = split_context_ensemble(
+                theta_ctx, x_ctx, ctx_mask, self.num_ensembles
+            )
+            return rows(
+                n_over, rng,
+                lambda xq, k: autoregressive_sample_ensemble(
+                    model, tc, xc, cm, xq, k, self.qry_chunk,
+                    self.target_transform,
+                ),
+            )
+        if self.num_order_ensembles > 1:
+            orders = self._dim_orders(dth)
+            assert n_over % len(orders) == 0
+            per = n_over // len(orders)
+            ts, ls = [], []
+            for k_i, od in enumerate(orders):
+                t, l = rows(
+                    per, jax.random.fold_in(rng, k_i),
+                    lambda xq, k, od=od: autoregressive_sample(
+                        model, theta_ctx, x_ctx, ctx_mask, xq, k,
+                        self.qry_chunk, self.target_transform, dim_order=od,
+                    ),
+                )
+                ts.append(t)
+                ls.append(l)
+            theta = jnp.stack(ts, axis=2).reshape(m, n_over, dth)
+            lp = jnp.stack(ls, axis=2).reshape(m, n_over)
+            return theta, lp
+        return rows(
+            n_over, rng,
+            lambda xq, k: autoregressive_sample(
+                model, theta_ctx, x_ctx, ctx_mask, xq, k, self.qry_chunk,
+                self.target_transform,
+            ),
+        )
 
     def _within_support(self, theta: Array) -> Array:
         """Prior-support mask (npe_pfn.py:581-600); everything accepted when
@@ -861,6 +917,7 @@ class NPEPFN:
         key = (
             "batched", num_samples, n_over, max_iters, self.qry_chunk,
             self.target_transform, self.prior is None,
+            self.num_ensembles, self.num_order_ensembles,
         )
         fn = self._fused_rej_cache.get(key)
         if fn is not None:
@@ -878,20 +935,10 @@ class NPEPFN:
         def run(model, prior, theta_ctx, x_ctx, ctx_mask, x, rng):
             m, dx = x.shape
             dth = theta_ctx.shape[1]
-            q = _round_up(m * n_over, self.qry_chunk)
 
             def draw(k):
-                x_qry = jnp.repeat(x, n_over, axis=0)
-                x_qry = jnp.concatenate(
-                    [x_qry, jnp.zeros((q - m * n_over, dx), x.dtype)], axis=0
-                )
-                theta, lp = autoregressive_sample(
-                    model, theta_ctx, x_ctx, ctx_mask, x_qry, k,
-                    self.qry_chunk, self.target_transform,
-                )
-                return (
-                    theta[: m * n_over].reshape(m, n_over, dth),
-                    lp[: m * n_over].reshape(m, n_over),
+                return self._draw_group(
+                    k, x, n_over, (theta_ctx, x_ctx, ctx_mask), model=model
                 )
 
             acc_s0 = jnp.zeros((m, slack, dth), jnp.float32)
@@ -1081,7 +1128,6 @@ class NPEPFN:
         num_samples = self._num_from_shape(num_samples)
         if max_iters < 1:
             raise ValueError("max_iters must be >= 1")
-        self._require_no_ensembles("sample_batched")
         return_log_probs = return_log_probs or with_log_prob
         x = jnp.asarray(x, jnp.float32)
         if x.ndim == 1:
@@ -1108,6 +1154,8 @@ class NPEPFN:
                     num_samples * (max(oversample, 1.0) if self.prior else 1.0)
                 )
             )
+            # Order-ensembled pools interleave the K orders (`_draw_group`).
+            n_over = _round_up(n_over, self.num_order_ensembles)
             eff_iters = max_iters if self.prior is not None else 1
             run = self._fused_batched_rejection(num_samples, n_over, eff_iters)
 
@@ -1149,6 +1197,7 @@ class NPEPFN:
         m, dx = x.shape
         oversample = max(oversample, 1.0)  # top-up fill requires n_over >= num
         n_over = int(math.ceil(num_samples * (oversample if self.prior else 1.0)))
+        n_over = _round_up(n_over, self.num_order_ensembles)
         dth = self._theta_train.shape[1]
         got = [np.zeros((0, dth), np.float32) for _ in range(m)]
         got_lp = [np.zeros((0,), np.float32) for _ in range(m)]
@@ -1158,17 +1207,11 @@ class NPEPFN:
             if min(g.shape[0] for g in got) >= num_samples:
                 break
             rng, draw_rng = jax.random.split(rng)
-            q = _round_up(m * n_over, self.qry_chunk)
-            x_qry = jnp.repeat(x, n_over, axis=0)
-            x_qry = jnp.concatenate(
-                [x_qry, jnp.zeros((q - m * n_over, dx), x.dtype)], axis=0
+            theta, lp = self._draw_group(
+                draw_rng, x, n_over, (theta_ctx, x_ctx, ctx_mask)
             )
-            theta, lp = autoregressive_sample(
-                self.model, theta_ctx, x_ctx, ctx_mask, x_qry, draw_rng,
-                self.qry_chunk, self.target_transform,
-            )
-            theta = np.asarray(theta[: m * n_over]).reshape(m, n_over, dth)
-            lp = np.asarray(lp[: m * n_over]).reshape(m, n_over)
+            theta = np.asarray(theta)
+            lp = np.asarray(lp)
             mask = np.asarray(
                 self._within_support(jnp.asarray(theta.reshape(-1, dth)))
             ).reshape(m, n_over)
@@ -1219,7 +1262,6 @@ class NPEPFN:
         `_within_support` downstream if needed. Returns [M, num_samples, dθ].
         """
         num_samples = self._num_from_shape(num_samples)
-        self._require_no_ensembles("sample_batched_filtered")
         x = jnp.asarray(x, jnp.float32)
         if x.ndim == 1:
             x = x[None]
@@ -1230,15 +1272,58 @@ class NPEPFN:
         # Choose the chunk first, then pad the sample count to a chunk
         # multiple — autoregressive_sample requires q % chunk == 0, and
         # e.g. num_samples=1280 with qry_chunk=1024 would otherwise yield
-        # s_pad=1280, chunk=1024 and trip its assertion.
-        chunk = min(self.qry_chunk, _round_up(num_samples, 256))
-        s_pad = _round_up(num_samples, chunk)
+        # s_pad=1280, chunk=1024 and trip its assertion. With order
+        # ensembles each of the K orders draws its own padded share and the
+        # shares are interleaved before the trim (same mixture as sample()).
+        n_orders = self.num_order_ensembles
+        per_raw = -(-num_samples // n_orders)
+        chunk = min(self.qry_chunk, _round_up(per_raw, 256))
+        s_pad = _round_up(per_raw, chunk)
 
-        vmapped = jax.vmap(
-            lambda tc, xc, cm, xq, k: autoregressive_sample(
-                self.model, tc, xc, cm, xq, k, chunk, self.target_transform
+        if self.num_ensembles > 1:
+            num_members = self.num_ensembles
+            vmapped = jax.vmap(
+                lambda tc, xc, cm, xq, k: autoregressive_sample_ensemble(
+                    self.model,
+                    *split_context_ensemble(tc, xc, cm, num_members),
+                    xq, k, chunk, self.target_transform,
+                )
             )
-        )
+
+            def draw(ctxs, xq, keys):
+                return vmapped(*ctxs, xq, keys)
+        elif n_orders > 1:
+            vm = [
+                jax.vmap(
+                    lambda tc, xc, cm, xq, k, od=od: autoregressive_sample(
+                        self.model, tc, xc, cm, xq, k, chunk,
+                        self.target_transform, dim_order=od,
+                    )
+                )
+                for od in self._dim_orders(self._theta_train.shape[1])
+            ]
+
+            def draw(ctxs, xq, keys):
+                ts, ls = [], []
+                for k_i, f in enumerate(vm):
+                    ks = jax.vmap(lambda kk: jax.random.fold_in(kk, k_i))(keys)
+                    t, l = f(*ctxs, xq, ks)
+                    ts.append(t)
+                    ls.append(l)
+                g = ts[0].shape[0]
+                theta = jnp.stack(ts, axis=2).reshape(g, s_pad * len(vm), -1)
+                lp = jnp.stack(ls, axis=2).reshape(g, s_pad * len(vm))
+                return theta, lp
+        else:
+            vmapped = jax.vmap(
+                lambda tc, xc, cm, xq, k: autoregressive_sample(
+                    self.model, tc, xc, cm, xq, k, chunk, self.target_transform
+                )
+            )
+
+            def draw(ctxs, xq, keys):
+                return vmapped(*ctxs, xq, keys)
+
         outs, lps = [], []
         for start in range(0, m, obs_chunk):
             stop = min(start + obs_chunk, m)
@@ -1254,7 +1339,7 @@ class NPEPFN:
             )
             rng, k_d = jax.random.split(rng)
             keys = jax.random.split(k_d, stop - start)
-            theta, lp = vmapped(theta_ctx, x_ctx, ctx_mask, x_qry, keys)
+            theta, lp = draw((theta_ctx, x_ctx, ctx_mask), x_qry, keys)
             outs.append(theta[:, :num_samples])
             lps.append(lp[:, :num_samples])
         theta_out = jnp.concatenate(outs, axis=0)
@@ -1353,9 +1438,10 @@ class NPEPFN:
         Rows are scored in chunks of ``max_sampling_batch_size`` (reference
         chunking semantics, npe_pfn.py:436).
 
-        theta: [M, S, dθ]; x: [M, dx] → [M, S].
+        theta: [M, S, dθ]; x: [M, dx] → [M, S]. Ensemble configs score the
+        same mixture density the ensembled sampler draws from (context-subset
+        logsumexp / factorization-order logsumexp, as in ``log_prob``).
         """
-        self._require_no_ensembles("log_prob_batched")
         theta = jnp.asarray(theta, jnp.float32)
         x = jnp.asarray(x, jnp.float32)
         if self.embedding_net is not None:
@@ -1367,6 +1453,10 @@ class NPEPFN:
             None, self._theta_train, self._x_train, self._effective_context_size,
             rng=ctx_rng,
         )
+        if self.num_ensembles > 1:
+            tc, xc, cm = split_context_ensemble(
+                theta_ctx, x_ctx, ctx_mask, self.num_ensembles
+            )
         x_rows = jnp.repeat(x, s, axis=0)
         theta_rows = theta.reshape(m * s, dth)
         cap = _round_up(max_sampling_batch_size, self.qry_chunk)
@@ -1382,9 +1472,26 @@ class NPEPFN:
             tr = jnp.concatenate(
                 [tr, jnp.zeros((q - nc, dth), theta.dtype)], axis=0
             )
-            lp = autoregressive_log_prob(
-                self.model, theta_ctx, x_ctx, ctx_mask, xr, tr, self.qry_chunk,
-                self.target_transform,
-            )
+            if self.num_ensembles > 1:
+                lp = autoregressive_log_prob_ensemble(
+                    self.model, tc, xc, cm, xr, tr, self.qry_chunk,
+                    self.target_transform,
+                )
+            elif self.num_order_ensembles > 1:
+                lps = jnp.stack([
+                    autoregressive_log_prob(
+                        self.model, theta_ctx, x_ctx, ctx_mask, xr, tr,
+                        self.qry_chunk, self.target_transform, dim_order=od,
+                    )
+                    for od in self._dim_orders(dth)
+                ])
+                lp = jax.scipy.special.logsumexp(lps, axis=0) - math.log(
+                    lps.shape[0]
+                )
+            else:
+                lp = autoregressive_log_prob(
+                    self.model, theta_ctx, x_ctx, ctx_mask, xr, tr,
+                    self.qry_chunk, self.target_transform,
+                )
             out.append(np.asarray(lp[:nc]))
         return jnp.asarray(np.concatenate(out, axis=0)).reshape(m, s)

@@ -422,15 +422,68 @@ def test_sample_batched_filtered_nonaligned_count(model, sims):
     assert out.shape == (2, 40, DIM_THETA)
 
 
-def test_batched_apis_reject_ensembles(model, sims):
+def test_batched_apis_support_ensembles(model, sims):
+    """Batched APIs honor ensemble configs (round-3 deferred item closed):
+    shapes, finiteness, and prior support through both drivers, for both
+    context-subset and factorization-order ensembling."""
     for kw in ({"num_ensembles": 2}, {"num_order_ensembles": 2}):
         est = make_estimator(model, sims, **kw)
-        with pytest.raises(NotImplementedError):
-            est.sample_batched(8, sims[1][:2])
-        with pytest.raises(NotImplementedError):
-            est.sample_batched_filtered(8, sims[1][:2])
-        with pytest.raises(NotImplementedError):
-            est.log_prob_batched(jnp.zeros((2, 4, DIM_THETA)), sims[1][:2])
+        out, lp = est.sample_batched(
+            10, sims[1][:3], rng=jax.random.PRNGKey(50), return_log_probs=True
+        )
+        assert out.shape == (3, 10, DIM_THETA) and lp.shape == (3, 10)
+        assert np.all(np.isfinite(np.asarray(out)))
+        assert np.all(np.isfinite(np.asarray(lp)))
+        ok = np.asarray(est.prior.support_check(out))
+        topped = np.asarray(est.last_diagnostics["topped_up"]) > 0
+        assert np.all(ok | topped[:, None])
+
+        outf = est.sample_batched_filtered(
+            10, sims[1][:2], rng=jax.random.PRNGKey(51), obs_chunk=2
+        )
+        assert outf.shape == (2, 10, DIM_THETA)
+        assert np.all(np.isfinite(np.asarray(outf)))
+
+        lpb = est.log_prob_batched(out[:, :4], sims[1][:3])
+        assert lpb.shape == (3, 4) and np.all(np.isfinite(np.asarray(lpb)))
+
+
+def test_log_prob_batched_order_ensemble_is_exact_mixture(model, sims):
+    """With the dataset inside the context budget the batched shared context
+    is deterministic (identity), so the order-ensembled log_prob_batched must
+    equal logsumexp_k lp_k − log K over per-order kernel calls exactly."""
+    from npe_pfn_tpu import filters as filters_mod
+    from npe_pfn_tpu.estimator import _round_up
+
+    est = make_estimator(
+        model, sims, num_order_ensembles=2, filter_context_size=512
+    )
+    theta_ctx, x_ctx, ctx_mask = filters_mod.no_filtering(
+        None, sims[0], sims[1], 512
+    )
+    xs = sims[1][:2]
+    theta = jnp.asarray(np.random.default_rng(0).normal(size=(2, 3, DIM_THETA)),
+                        jnp.float32)
+    got = np.asarray(est.log_prob_batched(theta, xs))
+
+    q = _round_up(6, est.qry_chunk)
+    xr = jnp.concatenate(
+        [jnp.repeat(xs, 3, axis=0), jnp.zeros((q - 6, DIM_X))], axis=0
+    )
+    tr = jnp.concatenate(
+        [theta.reshape(6, DIM_THETA), jnp.zeros((q - 6, DIM_THETA))], axis=0
+    )
+    lps = jnp.stack([
+        autoregressive_log_prob(
+            model, theta_ctx, x_ctx, ctx_mask, xr, tr, est.qry_chunk,
+            dim_order=od,
+        )
+        for od in est._dim_orders(DIM_THETA)
+    ])
+    want = np.asarray(
+        jax.scipy.special.logsumexp(lps, axis=0) - np.log(2.0)
+    )[:6].reshape(2, 3)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
 def test_sample_validates_max_iters(model, sims):
