@@ -32,6 +32,9 @@ while true; do
     step=$(grep -o '"step": [0-9]*' checkpoints/train_log_v4.jsonl 2>/dev/null \
         | tail -1 | grep -o '[0-9]*')
     for attempt in 1 2 3; do
+        # git commit -- <paths> silently SKIPS untracked files; stage first
+        # (round-3 bug: v4 weights stayed untracked through every snapshot).
+        git add -- $files 2>/dev/null
         git commit -q -m "v4 pretraining durability snapshot: $what (step ${step:-?})
 
 No-Verification-Needed: training artifact snapshot only" -- $files 2>/dev/null && break
