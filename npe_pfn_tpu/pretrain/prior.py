@@ -51,6 +51,22 @@ class PriorConfig:
     p_heteroscedastic: float = 0.0    # input-dependent noise scale
     p_heavy_tail: float = 0.0         # student-t-ish feature marginals
     p_categorical_feats: float = 0.0  # quantize a random subset of features
+    # v5 conditional-shape enrichment (round-4 diagnosis: the benchmark
+    # posteriors the model fails — two_moons, gaussian_mixture, SLCP — are
+    # thin separated multimodal or spike+slab scale-mixture conditionals,
+    # shapes families A/B rarely produce; results/diagnosis_*.json):
+    p_multimodal: float = 0.0         # family C: explicit K-component
+                                      # mixture conditionals p(y|x) with
+                                      # x-dependent means/weights and
+                                      # per-component scales (spike+slab
+                                      # when means collapse)
+    p_sym_fold: float = 0.0           # family B variant: element-wise |.|
+                                      # fold on a random subset of theta
+                                      # dims before the simulator — the
+                                      # exact sign-symmetry mechanism that
+                                      # makes two_moons bimodal
+                                      # (tasks/registry.py:60 |t0+t1|)
+    max_mixture_components: int = 4   # K range for family C (2..K)
 
 
 @dataclasses.dataclass
@@ -98,6 +114,47 @@ def _random_mlp(rng, x, out_dim: int, hidden: int):
     h = _rand_act(ks[8], h @ w2 + b2)
     w3 = jax.random.normal(ks[9], (hidden, out_dim)) * (1.0 / jnp.sqrt(hidden))
     return h @ w3
+
+
+def _family_c(rng: jax.Array, cfg: PriorConfig, xin: jnp.ndarray):
+    """Family C: explicit K-component mixture conditional p(y|x).
+
+    p(y|x) = sum_k w_k(x) N(y; mu_k(x), sigma_k^2) with x-dependent means
+    (random MLP heads, standardized across rows so separation is in
+    marginal-sd units), independent log-uniform per-component scales (thin
+    spikes to broad slabs), a 0.3-probability mean collapse (pure scale
+    mixture — gaussian_mixture's posterior shape), and 0.5-probability
+    x-dependent weights (mode birth/death along x — crescent endpoints).
+
+    Returns ``(y, dist)`` where ``y`` is one draw per row and ``dist`` is
+    the exact conditional ``(mu [R,K], sig [K], wlog [R,K])`` — exposed so
+    the capability probe and tests can score against the analytic density
+    (scripts/diagnose_multimodal.py) instead of mirroring this code.
+    """
+    R = xin.shape[0]
+    kc = jax.random.split(rng, 10)
+    K = cfg.max_mixture_components
+    mu_raw = _random_mlp(kc[0], xin, K, cfg.hidden)  # [R, K]
+    mu_sd = jnp.maximum(jnp.std(mu_raw, axis=0, keepdims=True), 1e-6)
+    mu = (mu_raw - jnp.mean(mu_raw, axis=0, keepdims=True)) / mu_sd
+    sep = jax.random.uniform(kc[1], (), minval=0.3, maxval=2.0)
+    mu = mu * sep
+    collapse = jax.random.bernoulli(kc[2], 0.3)
+    mu = jnp.where(collapse, jnp.broadcast_to(mu[:, :1], mu.shape), mu)
+    sig = 10.0 ** jax.random.uniform(kc[3], (K,), minval=-2.5, maxval=-0.2)
+    k_live = jax.random.randint(kc[4], (), 2, K + 1)
+    comp_alive = jnp.arange(K) < k_live
+    wlog_x = _random_mlp(kc[5], xin, K, cfg.hidden)
+    temp = jax.random.uniform(kc[6], (), minval=0.5, maxval=2.0)
+    use_xw = jax.random.bernoulli(kc[7], 0.5)
+    wlog_g = jax.random.normal(kc[8], (K,))
+    wlog = jnp.where(use_xw, wlog_x / temp, jnp.broadcast_to(wlog_g, wlog_x.shape))
+    wlog = jnp.where(comp_alive, wlog, -jnp.inf)
+    k_comp, k_eps = jax.random.split(kc[9])
+    comp = jax.random.categorical(k_comp, wlog, axis=-1)  # [R]
+    eps = jax.random.normal(k_eps, (R,))
+    y = jnp.take_along_axis(mu, comp[:, None], axis=1)[:, 0] + sig[comp] * eps
+    return y, (mu, sig, wlog)
 
 
 def _sample_one(rng: jax.Array, cfg: PriorConfig, max_feat=None) -> Tuple[jnp.ndarray, ...]:
@@ -168,7 +225,24 @@ def _sample_one(rng: jax.Array, cfg: PriorConfig, max_feat=None) -> Tuple[jnp.nd
     # Random target dim j and number of simulator-output features.
     j = jax.random.randint(ks[12], (), 0, dth)
     n_sim_feats = jnp.maximum(f_active - j, 1)
-    x_sim = _random_mlp(ks[13], theta, F, cfg.hidden)
+    if cfg.p_sym_fold > 0:
+        # Sign-symmetry fold: push a random subset of random linear combos
+        # of theta through |.| before the simulator. Non-injectivity of this
+        # exact shape is what makes two_moons bimodal (|theta0+theta1|,
+        # tasks/registry.py:60) and SLCP's theta3/theta4 squares ambiguous —
+        # the posterior p(theta_j | x) gains thin reflected modes whose
+        # width is set by the simulator noise below.
+        kf = jax.random.split(jax.random.fold_in(ks[13], 5), 4)
+        do_fold = jax.random.bernoulli(kf[0], cfg.p_sym_fold)
+        a_mix = jax.random.normal(kf[1], (dth, dth)) / jnp.sqrt(dth)
+        v = theta @ a_mix
+        fold_mask = jax.random.bernoulli(kf[2], 0.5, (dth,))
+        fold_mask = fold_mask.at[jax.random.randint(kf[3], (), 0, dth)].set(True)
+        folded = jnp.where(fold_mask, jnp.abs(v), v)
+        theta_sim_in = jnp.where(do_fold, folded, theta)
+    else:
+        theta_sim_in = theta
+    x_sim = _random_mlp(ks[13], theta_sim_in, F, cfg.hidden)
     sim_noise = 10.0 ** jax.random.uniform(ks[14], (), minval=-3.0, maxval=-0.5)
     x_sim = x_sim + jax.random.normal(ks[15], (R, F)) * sim_noise * jnp.maximum(
         jnp.std(x_sim), 1e-6
@@ -182,11 +256,29 @@ def _sample_one(rng: jax.Array, cfg: PriorConfig, max_feat=None) -> Tuple[jnp.nd
     feat_mask_inv = col < f_active_inv
     y_inv = theta[:, j]
 
+    # =========== family C: explicit mixture conditionals ===================
+    # p(y|x) = sum_k w_k(x) N(y; mu_k(x), sigma_k^2) — the conditional
+    # SHAPES the benchmark posteriors demand and families A/B rarely emit
+    # (round-4 diagnosis, results/diagnosis_prior_audit.json): thin
+    # well-separated location modes (two_moons/SLCP) and spike+slab scale
+    # mixtures (gaussian_mixture). Reuses family A's feature pipeline; the
+    # exact conditional is analytic, which the capability probe exploits
+    # (scripts/diagnose_multimodal.py).
+    if cfg.p_multimodal > 0:
+        y_mm, _ = _family_c(jax.random.fold_in(ks[16], 7), cfg, x_fwd * feat_mask)
     # =========== mixture selection ==========================================
     is_inv = jax.random.bernoulli(ks[16], cfg.p_inverse)
     x_all = jnp.where(is_inv, x_inv, x_fwd)
     y_all = jnp.where(is_inv, y_inv, y_fwd)
+    feat_mask_a = feat_mask
     feat_mask = jnp.where(is_inv, feat_mask_inv, feat_mask)
+    if cfg.p_multimodal > 0:
+        # Family C replaces the A/B pick (so p_inverse keeps its meaning
+        # within the non-C share).
+        is_mm = jax.random.bernoulli(jax.random.fold_in(ks[16], 13), cfg.p_multimodal)
+        x_all = jnp.where(is_mm, x_fwd, x_all)
+        y_all = jnp.where(is_mm, y_mm, y_all)
+        feat_mask = jnp.where(is_mm, feat_mask_a, feat_mask)
 
     # =========== optional binarization (classifier calibration) ============
     is_bin = jax.random.bernoulli(ks[17], cfg.p_binary)

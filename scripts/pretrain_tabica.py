@@ -49,6 +49,11 @@ def main():
     p.add_argument("--p_heteroscedastic", type=float, default=0.0)
     p.add_argument("--p_heavy_tail", type=float, default=0.0)
     p.add_argument("--p_categorical_feats", type=float, default=0.0)
+    p.add_argument("--p_multimodal", type=float, default=0.0,
+                   help="family C share: explicit mixture conditionals")
+    p.add_argument("--p_sym_fold", type=float, default=0.0,
+                   help="fraction of inverse tasks with |.|-folded theta")
+    p.add_argument("--max_mixture_components", type=int, default=4)
     # Feature-count curriculum (see TrainConfig.feat_curriculum_steps)
     p.add_argument("--feat_curriculum_steps", type=int, default=0)
     p.add_argument("--feat_curriculum_init", type=int, default=8)
@@ -127,6 +132,9 @@ def main():
         p_heteroscedastic=args.p_heteroscedastic,
         p_heavy_tail=args.p_heavy_tail,
         p_categorical_feats=args.p_categorical_feats,
+        p_multimodal=args.p_multimodal,
+        p_sym_fold=args.p_sym_fold,
+        max_mixture_components=args.max_mixture_components,
     )
 
     import jax
