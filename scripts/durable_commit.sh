@@ -16,26 +16,28 @@ set -u
 cd "$(dirname "$0")/.."
 INTERVAL=${1:-3600}
 CKPT_EVERY=${2:-2}
-CKPT=checkpoints/tabica_v4.npz
+CKPT=${CKPT:-checkpoints/tabica_v4.npz}
+TRAIN_LOG=${TRAIN_LOG:-checkpoints/train_log_v4.jsonl}
+TAG=$(basename "$CKPT" .npz)
 echo $$ > /tmp/durable_commit.pid
 
 tick=0
 while true; do
     sleep "$INTERVAL"
     tick=$((tick + 1))
-    files="checkpoints/train_log_v4.jsonl"
+    files="$TRAIN_LOG"
     what="train log"
     if [ $((tick % CKPT_EVERY)) -eq 0 ] && [ -f "$CKPT" ]; then
         files="$files $CKPT $CKPT.json $CKPT.train_state.npz $CKPT.train_state.npz.meta.npz"
         what="checkpoint + train log"
     fi
-    step=$(grep -o '"step": [0-9]*' checkpoints/train_log_v4.jsonl 2>/dev/null \
+    step=$(grep -o '"step": [0-9]*' "$TRAIN_LOG" 2>/dev/null \
         | tail -1 | grep -o '[0-9]*')
     for attempt in 1 2 3; do
         # git commit -- <paths> silently SKIPS untracked files; stage first
         # (round-3 bug: v4 weights stayed untracked through every snapshot).
         git add -- $files 2>/dev/null
-        git commit -q -m "v4 pretraining durability snapshot: $what (step ${step:-?})
+        git commit -q -m "$TAG pretraining durability snapshot: $what (step ${step:-?})
 
 No-Verification-Needed: training artifact snapshot only" -- $files 2>/dev/null && break
         # rc!=0 is either "no changes" (fine) or index.lock contention (retry)

@@ -11,8 +11,9 @@ set -u
 cd "$(dirname "$0")/.."
 INTERVAL=${1:-3600}
 KEEP=${2:-6}
-CKPT=checkpoints/tabica_v4.npz
-LOG=checkpoints/train_log_v4.jsonl
+CKPT=${CKPT:-checkpoints/tabica_v4.npz}
+LOG=${LOG:-checkpoints/train_log_v4.jsonl}
+TAG=$(basename "$CKPT" .npz)
 OUT=checkpoints/snapshots
 mkdir -p "$OUT"
 echo $$ > /tmp/snapshot.pid
@@ -20,12 +21,12 @@ echo $$ > /tmp/snapshot.pid
 while true; do
     if [ -f "$CKPT" ] && [ -f "$LOG" ]; then
         step=$(grep -o '"step": [0-9]*' "$LOG" | tail -1 | grep -o '[0-9]*')
-        dst="$OUT/tabica_v4_s${step}.npz"
+        dst="$OUT/${TAG}_s${step}.npz"
         if [ -n "$step" ] && [ ! -f "$dst" ]; then
             cp "$CKPT" "$dst.tmp" && mv "$dst.tmp" "$dst"
             echo "[snapshot] $dst"
             # prune oldest beyond KEEP (by step number, numeric sort)
-            ls "$OUT"/tabica_v4_s*.npz 2>/dev/null \
+            ls "$OUT"/${TAG}_s*.npz 2>/dev/null \
                 | sort -t_ -k3 -V | head -n -"$KEEP" | xargs -r rm -f
         fi
     fi
