@@ -129,6 +129,20 @@ def main():
     ap.add_argument("--out", default=None,
                     help="also write the JSON record to this file (keeps the "
                     "committed artifact clean of log lines on stdout)")
+    ap.add_argument("--filter_context", type=int, default=2048,
+                    help="context rows after filtering. Default = the "
+                    "SHIPPED estimator default (estimator.py), so the "
+                    "headline measures the config users actually get "
+                    "(VERDICT r3 weak #3); pass 512 for continuity with "
+                    "the round<=3 numbers.")
+    ap.add_argument("--num_sims", type=int, default=10_000,
+                    help="simulation pool the context filter draws from "
+                    "(reference-realistic: >10k sims filtered per obs, "
+                    "npe_pfn.py:721)")
+    ap.add_argument("--roofline", action="store_true",
+                    help="also emit an analytic speed-of-light estimate "
+                    "for this config (see npe_pfn_tpu/utils/roofline.py) "
+                    "into --out / stderr")
     args = ap.parse_args()
 
     clear_tpu_chip()
@@ -151,11 +165,11 @@ def main():
     num_samples = 10_240
     task = get_task("gaussian_linear", dim=10)
 
-    theta, x = task.simulate(jax.random.PRNGKey(0), 1000)
+    theta, x = task.simulate(jax.random.PRNGKey(0), args.num_sims)
     est = NPEPFN(
         prior=task.prior,
         filter_type="standardized_euclidean_filtering",
-        filter_context_size=512,
+        filter_context_size=args.filter_context,
         qry_chunk=1024,
     )
     est.append_simulations(theta, x)
@@ -181,14 +195,25 @@ def main():
 
     throughput = num_samples / elapsed
     baseline_throughput = 10.0 / 8.11  # reference Strategy A, saved output
-    record = json.dumps(
-        {
-            "metric": "posterior_samples_per_sec_10d_gaussian_linear_1chip",
-            "value": round(throughput, 2),
-            "unit": "samples/s",
-            "vs_baseline": round(throughput / baseline_throughput, 1),
-        }
-    )
+    rec = {
+        "metric": "posterior_samples_per_sec_10d_gaussian_linear_1chip",
+        "value": round(throughput, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(throughput / baseline_throughput, 1),
+        "filter_context": args.filter_context,
+        "num_sims": args.num_sims,
+    }
+    if args.roofline:
+        from npe_pfn_tpu.utils.roofline import ar_sampling_roofline
+
+        rl = ar_sampling_roofline(
+            est.model.cfg, num_ctx=min(args.filter_context, args.num_sims),
+            num_qry=num_samples, dim_theta=task.dim_theta, dim_x=task.dim_x,
+        )
+        rec["roofline"] = rl
+        rec["frac_of_roofline"] = round(rl["min_time_s"] / elapsed, 4)
+        print(json.dumps(rl, indent=1), file=sys.stderr)
+    record = json.dumps(rec)
     if args.out:
         with open(args.out, "w") as f:
             f.write(record + "\n")

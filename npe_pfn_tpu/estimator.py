@@ -1121,9 +1121,14 @@ class NPEPFN:
 
         Unlike the reference — which can return short/raise after 10 tries
         (npe_pfn.py:400-402, SURVEY §3.2 edge) — undersupplied observations
-        are topped up with unused draws from the final batch (in-support rows
-        preferred). Per-obs top-up counts land in ``self.last_diagnostics``
-        ["topped_up"] alongside the overall acceptance rate.
+        are topped up with unused draws from the final batch. Because
+        ``n_over >= num_samples``, a short observation's final iteration
+        consumed every in-support row, so the unused rows are exactly the
+        rejected ones and the deficit can never exceed them: both drivers
+        (fused and host) fill from the same population and never duplicate
+        a returned row (tests/test_escape_hatch_parity.py). Per-obs top-up
+        counts land in ``self.last_diagnostics["topped_up"]`` alongside the
+        overall acceptance rate.
         """
         num_samples = self._num_from_shape(num_samples)
         if max_iters < 1:
@@ -1230,8 +1235,13 @@ class NPEPFN:
             short = num_samples - got[j].shape[0]
             if short > 0:
                 # Escape hatch (reference accept_reject_sampler.py:74-77):
-                # fill from the final draw's UNUSED rows — in-support rows
-                # first, then out-of-support — never duplicating taken rows.
+                # fill from the final draw's UNUSED rows, never duplicating
+                # taken rows. The in-support-first ordering below is
+                # provably vacuous for a short obs (its final iteration
+                # consumed every in-support row, so unused == rejected —
+                # the same population the fused driver's rotation fills
+                # from; tests/test_escape_hatch_parity.py) and is kept only
+                # for clarity of intent.
                 unused = np.setdiff1d(np.arange(n_over), taken[j], assume_unique=False)
                 order = np.argsort(~mask[j][unused], kind="stable")  # in-support first
                 fill = unused[order][:short]

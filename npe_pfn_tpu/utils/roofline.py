@@ -1,0 +1,115 @@
+"""Analytic speed-of-light estimate for autoregressive posterior sampling.
+
+VERDICT r3 item 5 asked that "actually fast" be judged against the
+hardware's limits, not only against the CPU reference. This module counts
+the matmul FLOPs and the unavoidable HBM traffic of one full
+``NPEPFN.sample`` call — dim_theta AR steps, each = encode the filtered
+context once + decode all query rows against the cached context
+(estimator.py one-scan kernel, models/transformer.py) — and converts them
+to a lower-bound wall time on the chip's peak numbers.
+
+This is a *model*, not a measurement: it assumes perfect MXU utilization,
+perfect overlap, and that flash/fused attention never materializes the
+[.., N, N] score tensors (true for the Pallas kernel; the dense path
+materializes them, so its traffic floor is higher — we report the flash
+floor, which is the honest speed-of-light). Real kernels land at some
+fraction of this; bench.py reports that fraction so regressions in kernel
+quality are visible even when the headline beats the CPU baseline by
+orders of magnitude.
+
+Chip peaks default to the TPU v5 lite (v5e) the bench runs on:
+~197 TFLOP/s bf16 and ~819 GB/s HBM.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+
+def _layer_flops(n_rows: int, n_kv: int, t_tokens: int, d: int,
+                 mlp_ratio: int) -> float:
+    """Matmul FLOPs of one transformer block over [n_rows, t_tokens, d]
+    tokens whose row-axis attention attends to ``n_kv`` key rows.
+
+    Counts 2*m*n*k per matmul. Per block (models/transformer.py):
+      feature attention  per row: QKV+out 4 proj, scores+AV over T
+      row attention      per feature token: QKV+out, scores+AV over N_kv
+      MLP                two matmuls with hidden = mlp_ratio*d
+    """
+    ntok = n_rows * t_tokens
+    proj = 2 * ntok * d * d * 4            # q,k,v,out projections
+    feat_attn = 2 * n_rows * t_tokens * t_tokens * d * 2   # QK^T + AV
+    row_attn = 2 * t_tokens * n_rows * n_kv * d * 2
+    mlp = 2 * ntok * d * (mlp_ratio * d) * 2
+    # feature + row attention each have their own projection set
+    return 2 * proj + feat_attn + row_attn + mlp
+
+
+def _layer_bytes(n_rows: int, t_tokens: int, d: int, mlp_ratio: int,
+                 param_count: int, act_bytes: int = 2) -> float:
+    """HBM floor of one block: read+write activations once, stream params.
+
+    Flash attention keeps scores in VMEM, so the floor is the token
+    activations (in + out, plus one MLP hidden materialization that XLA
+    typically fuses — we charge in+out only, the optimistic bound) and one
+    pass over the block's parameters.
+    """
+    ntok = n_rows * t_tokens
+    acts = 2 * ntok * d * act_bytes
+    params = param_count * act_bytes
+    return acts + params
+
+
+def ar_sampling_roofline(
+    cfg,
+    num_ctx: int,
+    num_qry: int,
+    dim_theta: int,
+    dim_x: int,
+    peak_flops: float = 197e12,
+    hbm_bw: float = 819e9,
+) -> Dict[str, float]:
+    """Speed-of-light estimate for ``NPEPFN.sample(num_qry)``.
+
+    Per AR step i: encode ``num_ctx`` rows (self-attention, n_kv=num_ctx)
+    and decode ``num_qry`` rows against the cached context
+    (n_kv=num_ctx). Feature tokens: active features + 1 target cell; the
+    kernel pads to max_features, and padded columns are masked but still
+    computed — we charge the PADDED width, because that is what the chip
+    executes (the floor for this implementation, not for an ideal one).
+    """
+    d = cfg.d_model
+    t_tokens = cfg.max_features + 1
+    L = cfg.num_layers
+    # parameter count per block: 2 attention sets (8 d^2) + MLP (2*mlp*d^2)
+    params_per_block = (8 + 2 * cfg.mlp_ratio) * d * d
+    head_params = d * cfg.num_bars
+
+    flops = 0.0
+    bytes_ = 0.0
+    for _ in range(dim_theta):
+        enc_f = L * _layer_flops(num_ctx, num_ctx, t_tokens, d, cfg.mlp_ratio)
+        dec_f = L * _layer_flops(num_qry, num_ctx, t_tokens, d, cfg.mlp_ratio)
+        head_f = 2 * num_qry * d * cfg.num_bars
+        flops += enc_f + dec_f + head_f
+        enc_b = L * _layer_bytes(num_ctx, t_tokens, d, cfg.mlp_ratio,
+                                 params_per_block)
+        dec_b = L * _layer_bytes(num_qry, t_tokens, d, cfg.mlp_ratio,
+                                 params_per_block)
+        bytes_ += enc_b + dec_b + head_params * 2
+
+    t_compute = flops / peak_flops
+    t_memory = bytes_ / hbm_bw
+    min_time = max(t_compute, t_memory)
+    return {
+        "flops": flops,
+        "hbm_bytes": bytes_,
+        "t_compute_s": round(t_compute, 6),
+        "t_memory_s": round(t_memory, 6),
+        "min_time_s": round(min_time, 6),
+        "bound": "compute" if t_compute >= t_memory else "memory",
+        "samples_per_s_ceiling": round(num_qry / min_time, 1),
+        "assumptions": "flash attention (no score materialization), padded "
+                       f"feature width {t_tokens - 1}, peak {peak_flops/1e12:.0f} "
+                       f"TFLOP/s bf16, {hbm_bw/1e9:.0f} GB/s HBM (TPU v5e)",
+    }
