@@ -37,14 +37,16 @@ def _flash_kernel(
     v_ref,  # [1, Bk, hd]
     mask_ref,  # [1, Bk] (shared) or [1, 1, Bk] (per-batch) f32; 1.0 = real row
     out_ref,  # [1, Bq, hd]
-    m_scratch,  # [Bq, 128] f32
-    l_scratch,  # [Bq, 128] f32
-    acc_scratch,  # [Bq, hd] f32
-    *,
+    *refs,  # with_lse: (lse_ref [1, Bq, hd], m, l, acc); else (m, l, acc)
     scale: float,
     num_k_blocks: int,
     mask_3d: bool,
+    with_lse: bool,
 ):
+    if with_lse:
+        lse_ref, m_scratch, l_scratch, acc_scratch = refs
+    else:
+        m_scratch, l_scratch, acc_scratch = refs
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -81,9 +83,16 @@ def _flash_kernel(
 
     @pl.when(kb == num_k_blocks - 1)
     def _finalize():
-        out_ref[0] = (
-            acc_scratch[:] / jnp.maximum(l_scratch[:, :1], 1e-30)
-        ).astype(out_ref.dtype)
+        l_fin = jnp.maximum(l_scratch[:, :1], 1e-30)
+        out_ref[0] = (acc_scratch[:] / l_fin).astype(out_ref.dtype)
+        if with_lse:
+            # lse rides an [1, Bq, hd] block (lane-broadcast): a [1, Bq]
+            # block violates Mosaic's (8, 128) tiling rule on real TPUs —
+            # caught on hardware in round 3; interpret mode doesn't
+            # enforce tiling.
+            lse_ref[0] = jnp.broadcast_to(
+                m_scratch[:, :1] + jnp.log(l_fin), lse_ref.shape[1:]
+            ).astype(lse_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
@@ -104,6 +113,17 @@ def flash_row_attention(
     or per-batch-row ([B, Lk], e.g. different ensemble-member contexts).
     Also composes with jax.vmap (the batching rule lifts extra axes into the
     grid), so vmapped ensemble/sp paths dispatch here too.
+    """
+    return _flash_fwd(q, k, v, kv_mask, block_q, block_k, interpret,
+                      with_lse=False)
+
+
+def _flash_fwd(q, k, v, kv_mask, block_q, block_k, interpret, with_lse):
+    """Shared pallas_call driver for both forward variants.
+
+    ``with_lse=False``: returns out [B, Lq, H, hd] (inference path).
+    ``with_lse=True``: returns (out, lse [B, H, Lq]) — the trainable
+    forward, whose custom VJP consumes the per-query logsumexp.
     """
     b, lq, h, hd = q.shape
     lk = k.shape[1]
@@ -131,35 +151,31 @@ def flash_row_attention(
     grid = (b * h, lq_p // block_q, num_k_blocks)
 
     kernel = functools.partial(
-        _flash_kernel, scale=scale, num_k_blocks=num_k_blocks, mask_3d=mask_3d
+        _flash_kernel, scale=scale, num_k_blocks=num_k_blocks,
+        mask_3d=mask_3d, with_lse=with_lse,
     )
-    out = pl.pallas_call(
+    qblock = pl.BlockSpec(
+        (1, block_q, hd), lambda i, iq, ik: (i, iq, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kblock = pl.BlockSpec(
+        (1, block_k, hd), lambda i, iq, ik: (i, ik, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((b * h, lq_p, hd), q.dtype)
+    if with_lse:
+        out_specs = [qblock, qblock]
+        out_shapes = [out_shape,
+                      jax.ShapeDtypeStruct((b * h, lq_p, hd), jnp.float32)]
+    else:
+        out_specs = qblock
+        out_shapes = out_shape
+    res = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, block_q, hd),
-                lambda i, iq, ik: (i, iq, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, block_k, hd),
-                lambda i, iq, ik: (i, ik, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, block_k, hd),
-                lambda i, iq, ik: (i, ik, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            mask_spec,
-        ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, hd),
-            lambda i, iq, ik: (i, iq, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b * h, lq_p, hd), q.dtype),
+        in_specs=[qblock, kblock, kblock, mask_spec],
+        out_specs=out_specs,
+        out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -167,8 +183,13 @@ def flash_row_attention(
         ],
         interpret=interpret,
     )(qf, kf, vf, mask_f)
+    out = res[0] if with_lse else res
     out = jnp.swapaxes(out.reshape(b, h, lq_p, hd), 1, 2)[:, :lq]
-    return out * _any_valid_gate(kv_mask, out.dtype)
+    out = out * _any_valid_gate(kv_mask, out.dtype)
+    if not with_lse:
+        return out
+    lse = res[1][..., 0].reshape(b, h, lq_p)[:, :, :lq]
+    return out, lse
 
 
 def _round_up(n: int, m: int) -> int:
@@ -224,123 +245,20 @@ def _any_valid_gate(kv_mask, dtype):
 # Trainable flash attention (custom VJP)
 #
 # The Pallas forward has no autodiff rule, so long-context *training* needs
-# an explicit VJP. Forward: the same online-softmax kernel, additionally
-# writing the per-query logsumexp (one [B·H, Lq] f32 vector — negligible).
-# Backward: the standard flash recomputation, expressed as a lax.scan over
-# key blocks in plain XLA — memory O(Lq·Bk) instead of O(Lq·Lk), MXU-bound
-# matmuls, no second Pallas kernel to maintain.
+# an explicit VJP. Forward: the same online-softmax kernel (one kernel, the
+# static ``with_lse`` flag adds the logsumexp output — one [B·H, Lq] f32
+# vector, negligible). Backward: the standard flash recomputation,
+# expressed as a lax.scan over key blocks in plain XLA — memory O(Lq·Bk)
+# instead of O(Lq·Lk), MXU-bound matmuls, no second Pallas kernel to
+# maintain.
 # ---------------------------------------------------------------------------
-
-
-def _flash_kernel_lse(
-    q_ref, k_ref, v_ref, mask_ref, out_ref, lse_ref,
-    m_scratch, l_scratch, acc_scratch, *, scale: float, num_k_blocks: int,
-    mask_3d: bool,
-):
-    kb = pl.program_id(2)
-
-    @pl.when(kb == 0)
-    def _init():
-        m_scratch[:] = jnp.full_like(m_scratch, _NEG_INF)
-        l_scratch[:] = jnp.zeros_like(l_scratch)
-        acc_scratch[:] = jnp.zeros_like(acc_scratch)
-
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    mask = mask_ref[0, 0, :] if mask_3d else mask_ref[0, :]
-
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    s = s + (1.0 - mask)[None, :] * _NEG_INF
-
-    m_prev = m_scratch[:, :1]
-    l_prev = l_scratch[:, :1]
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
-    l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-
-    pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    acc_scratch[:] = acc_scratch[:] * alpha + pv
-    m_scratch[:, :1] = m_new
-    l_scratch[:, :1] = l_new
-
-    @pl.when(kb == num_k_blocks - 1)
-    def _finalize():
-        l_fin = jnp.maximum(l_scratch[:, :1], 1e-30)
-        out_ref[0] = (acc_scratch[:] / l_fin).astype(out_ref.dtype)
-        # lse rides an [1, Bq, hd] block (lane-broadcast): a [1, Bq] block
-        # violates Mosaic's (8, 128) tiling rule on real TPUs — caught on
-        # hardware in round 3; interpret-mode tests don't enforce tiling.
-        lse_ref[0] = jnp.broadcast_to(
-            m_scratch[:, :1] + jnp.log(l_fin), lse_ref.shape[1:]
-        ).astype(lse_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
 def _flash_fwd_lse(q, k, v, kv_mask, block_q=256, block_k=1024, interpret=False):
     """Like flash_row_attention but also returns lse [B, H, Lq]."""
-    b, lq, h, hd = q.shape
-    lk = k.shape[1]
-    scale = hd**-0.5
-    block_q = min(block_q, _round_up(lq, 8))
-    block_k = min(block_k, _round_up(lk, 8))
-    lq_p = _round_up(lq, block_q)
-    lk_p = _round_up(lk, block_k)
-    if lq_p != lq:
-        q = jnp.pad(q, ((0, 0), (0, lq_p - lq), (0, 0), (0, 0)))
-    if lk_p != lk:
-        k = jnp.pad(k, ((0, 0), (0, lk_p - lk), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, lk_p - lk), (0, 0), (0, 0)))
-    mask_f, mask_spec, mask_3d = _mask_operand(kv_mask, h, lk, lk_p, block_k)
-
-    qf = jnp.swapaxes(q, 1, 2).reshape(b * h, lq_p, hd)
-    kf = jnp.swapaxes(k, 1, 2).reshape(b * h, lk_p, hd)
-    vf = jnp.swapaxes(v, 1, 2).reshape(b * h, lk_p, hd)
-    num_k_blocks = lk_p // block_k
-    grid = (b * h, lq_p // block_q, num_k_blocks)
-    kernel = functools.partial(
-        _flash_kernel_lse, scale=scale, num_k_blocks=num_k_blocks,
-        mask_3d=mask_3d,
-    )
-    out, lse = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, hd), lambda i, iq, ik: (i, iq, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, hd), lambda i, iq, ik: (i, ik, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, hd), lambda i, iq, ik: (i, ik, 0),
-                         memory_space=pltpu.VMEM),
-            mask_spec,
-        ],
-        out_specs=[
-            pl.BlockSpec((1, block_q, hd), lambda i, iq, ik: (i, iq, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, hd), lambda i, iq, ik: (i, iq, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b * h, lq_p, hd), q.dtype),
-            jax.ShapeDtypeStruct((b * h, lq_p, hd), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, hd), jnp.float32),
-        ],
-        interpret=interpret,
-    )(qf, kf, vf, mask_f)
-    out = jnp.swapaxes(out.reshape(b, h, lq_p, hd), 1, 2)[:, :lq]
-    lse = lse[..., 0].reshape(b, h, lq_p)[:, :, :lq]
-    return out * _any_valid_gate(kv_mask, out.dtype), lse
+    return _flash_fwd(q, k, v, kv_mask, block_q, block_k, interpret,
+                      with_lse=True)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
