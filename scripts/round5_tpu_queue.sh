@@ -154,6 +154,19 @@ bash scripts/run_with_watchdog.sh /tmp/ratio_sweep.log 1800 7200 -- \
     --out results/log_prob_validation_round4.json || true
 commit_results "Ratio-classifier ceiling sweep: context 512-8192 x ensembles"
 
+# 4b. TSNPE simulation-efficiency on tasks where base quality is GOOD and
+#     strongly data-responsive (VERDICT r3 item 4: on quality-limited
+#     two_moons/slcp the round-4 curve is flat because truncation cannot
+#     fix a wrong posterior; bernoulli_glm improves 0.98->0.63 with data,
+#     high_dim_gaussian 0.77->0.53 — the regime where the reference's
+#     sequential claim should show).
+bash scripts/run_with_watchdog.sh /tmp/tsnpe_eff5.log 1200 5400 -- \
+    python scripts/tsnpe_efficiency.py \
+    --tasks bernoulli_glm high_dim_gaussian --budgets 256 1024 \
+    --rounds 1 2 4 --seeds 0 1 \
+    --out "$GRID_OUT/tsnpe_efficiency_goodtasks.jsonl" || true
+commit_results "TSNPE efficiency on data-responsive ground-truth tasks"
+
 # 5. Length generalization on the winner.
 bash scripts/run_with_watchdog.sh /tmp/lengen5.log 1200 3600 -- \
     python scripts/length_generalization.py \
