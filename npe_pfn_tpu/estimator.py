@@ -53,6 +53,25 @@ def _round_up(n: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _eff_features(model: TabICAModel, dx: int, dth: int) -> int:
+    """Static effective feature width for the AR kernels.
+
+    TabICA's columns are structurally independent — no positional
+    embeddings, cells of inactive columns are zeroed at embedding and
+    masked (-inf) as keys in feature attention, and row attention is
+    per-column (models/transformer.py:15-27) — so computing with only the
+    first ``dx + dth`` columns (rounded up to 8 for TPU tiling) is EXACTLY
+    equal to the full padded width (tests/test_feature_slice.py pins it).
+    Row-attention cost scales with T = f+1 and feature attention with T²,
+    so a 2-D task (two_moons: T 9 vs 33) gets a ~3x lighter kernel for
+    free. ``NPE_PFN_TPU_FEATURE_SLICE=0`` restores the full width (read at
+    trace time, like NPE_PFN_TPU_FUSED)."""
+    f_full = model.cfg.max_features
+    if os.environ.get("NPE_PFN_TPU_FEATURE_SLICE", "1") == "0":
+        return f_full
+    return min(f_full, max(8, _round_up(dx + dth, 8)))
+
+
 def _order_prefix_masks(order: Array, dx: int, f: int) -> Array:
     """[dθ, f] bool: mask[i] = x columns ∪ θ columns sampled before step i
     under ``order`` (the AR factorization's conditioning set)."""
@@ -62,7 +81,7 @@ def _order_prefix_masks(order: Array, dx: int, f: int) -> Array:
     return (jnp.arange(f)[None, :] < dx) | (before > 0)
 
 
-@partial(jax.jit, static_argnames=("qry_chunk", "target_transform"))
+@partial(jax.jit, static_argnames=("qry_chunk", "target_transform", "feature_width"))
 def autoregressive_sample(
     model: TabICAModel,
     theta_ctx: Array,  # [N, dθ] context parameters
@@ -73,6 +92,7 @@ def autoregressive_sample(
     qry_chunk: int = 1024,
     target_transform: str = "zscore",
     dim_order: Optional[Array] = None,
+    feature_width: Optional[int] = None,
 ) -> Tuple[Array, Array]:
     """Draw θ ~ q(θ|x) autoregressively per dimension.
 
@@ -94,12 +114,13 @@ def autoregressive_sample(
     """
     n, dth = theta_ctx.shape
     q, dx = x_qry.shape
-    f = model.cfg.max_features
-    if dx + dth > f:
+    if dx + dth > model.cfg.max_features:
         raise ValueError(
-            f"dx+dtheta = {dx + dth} exceeds model feature budget {f}; "
-            "use an embedding_net (e.g. RandomProjectionEmbedding) to compress x"
+            f"dx+dtheta = {dx + dth} exceeds model feature budget "
+            f"{model.cfg.max_features}; use an embedding_net (e.g. "
+            "RandomProjectionEmbedding) to compress x"
         )
+    f = feature_width or _eff_features(model, dx, dth)
     assert q % qry_chunk == 0, "pad query rows to a multiple of qry_chunk"
 
     xc = jnp.zeros((n, f), theta_ctx.dtype)
@@ -135,7 +156,7 @@ def autoregressive_sample(
     return theta, jnp.sum(lps, axis=0)
 
 
-@partial(jax.jit, static_argnames=("qry_chunk", "target_transform"))
+@partial(jax.jit, static_argnames=("qry_chunk", "target_transform", "feature_width"))
 def autoregressive_log_prob(
     model: TabICAModel,
     theta_ctx: Array,
@@ -146,6 +167,7 @@ def autoregressive_log_prob(
     qry_chunk: int = 1024,
     target_transform: str = "zscore",
     dim_order: Optional[Array] = None,
+    feature_width: Optional[int] = None,
 ) -> Array:
     """Score log q(θ|x) autoregressively (reference npe_pfn.py:462-524).
     Like the reference, no truncation/leakage correction (npe_pfn.py:475).
@@ -155,7 +177,7 @@ def autoregressive_log_prob(
     autoregressive_sample)."""
     n, dth = theta_ctx.shape
     q, dx = x_qry.shape
-    f = model.cfg.max_features
+    f = feature_width or _eff_features(model, dx, dth)
     assert q % qry_chunk == 0
 
     xc = jnp.zeros((n, f), theta_ctx.dtype)
@@ -189,7 +211,7 @@ def autoregressive_log_prob(
     return jnp.sum(lps, axis=0)
 
 
-@partial(jax.jit, static_argnames=("qry_chunk", "target_transform"))
+@partial(jax.jit, static_argnames=("qry_chunk", "target_transform", "feature_width"))
 def autoregressive_sample_ensemble(
     model: TabICAModel,
     theta_ctx: Array,  # [E, Ne, dθ] — context split into E ensemble members
@@ -199,6 +221,7 @@ def autoregressive_sample_ensemble(
     rng: jax.Array,
     qry_chunk: int = 1024,
     target_transform: str = "zscore",
+    feature_width: Optional[int] = None,
 ) -> Tuple[Array, Array]:
     """Ensemble-mixture autoregressive sampling.
 
@@ -211,7 +234,7 @@ def autoregressive_sample_ensemble(
     """
     e, n_e, dth = theta_ctx.shape
     q, dx = x_qry.shape
-    f = model.cfg.max_features
+    f = feature_width or _eff_features(model, dx, dth)
     assert q % qry_chunk == 0
 
     xc = jnp.zeros((e, n_e, f), theta_ctx.dtype)
@@ -266,7 +289,7 @@ def autoregressive_sample_ensemble(
     return theta, jnp.sum(lps, axis=0)
 
 
-@partial(jax.jit, static_argnames=("qry_chunk", "target_transform"))
+@partial(jax.jit, static_argnames=("qry_chunk", "target_transform", "feature_width"))
 def autoregressive_log_prob_ensemble(
     model: TabICAModel,
     theta_ctx: Array,  # [E, Ne, dθ]
@@ -276,12 +299,13 @@ def autoregressive_log_prob_ensemble(
     theta_eval: Array,  # [Q, dθ]
     qry_chunk: int = 1024,
     target_transform: str = "zscore",
+    feature_width: Optional[int] = None,
 ) -> Array:
     """Score log q(θ|x) under the same context-subset mixture that
     autoregressive_sample_ensemble draws from."""
     e, n_e, dth = theta_ctx.shape
     q, dx = x_qry.shape
-    f = model.cfg.max_features
+    f = feature_width or _eff_features(model, dx, dth)
     assert q % qry_chunk == 0
 
     xc = jnp.zeros((e, n_e, f), theta_ctx.dtype)

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from . import preprocessing
-from .estimator import NPEPFN, _round_up
+from .estimator import NPEPFN, _eff_features, _round_up
 from .models import regressor
 from .models.regressor import FittedContext, TabICAModel
 
@@ -40,7 +40,7 @@ def _precompute_dim_caches(
     a leading dθ axis, per-dim QuantileTransforms or None)."""
     n, dth = theta_ctx.shape
     dx = x_ctx.shape[1]
-    f = model.cfg.max_features
+    f = _eff_features(model, dx, dth)  # exact slice, see estimator.py
     xc = jnp.zeros((n, f), theta_ctx.dtype)
     xc = xc.at[:, :dx].set(x_ctx).at[:, dx : dx + dth].set(theta_ctx)
     col = jnp.arange(f)
@@ -74,7 +74,7 @@ def _cached_sample(
 ) -> Tuple[Array, Array]:
     dth = caches.stats.mu_y.shape[0]
     q = x_qry.shape[0]
-    f = model.cfg.max_features
+    f = caches.feat_mask.shape[-1]  # width chosen at precompute
 
     def step(theta_sm, inp):
         i, key = inp
@@ -112,7 +112,7 @@ def _cached_log_prob(
 ) -> Array:
     dth = caches.stats.mu_y.shape[0]
     q = x_qry.shape[0]
-    f = model.cfg.max_features
+    f = caches.feat_mask.shape[-1]  # width chosen at precompute
     xq = jnp.zeros((q, f), x_qry.dtype)
     xq = xq.at[:, :dx].set(x_qry).at[:, dx : dx + dth].set(theta_eval)
     chunks = xq.reshape(q // qry_chunk, qry_chunk, f)
