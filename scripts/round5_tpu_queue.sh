@@ -184,6 +184,18 @@ python scripts/plot_comparison.py --results "$GRID_OUT" --out "$GRID_OUT/plots" 
 python scripts/round_summary.py > results/SUMMARY.md 2>/dev/null || true
 commit_results "Round-4 calibration, predictive checks, plots, summary"
 
+# 6b. Round-5 planning data: on-chip step-time A/B of the Perceiver-style
+#     row-attention bottleneck (row_pool_slots) at the v4/v5 shape — never
+#     ran in the round-4 queue. Measures whether K=8 slots cut the T*N^2
+#     HBM term enough to fund a bigger final-round pretrain.
+if [ ! -f results/train_step_pool_ab.json ]; then
+    timeout 2700 python scripts/profile_train_step.py --flash off \
+        --steps 25 --d_model 256 --num_heads 2 --num_layers 8 \
+        --num_bars 1024 --scores_dtype bfloat16 --row_pool_slots 8 \
+        --out results/train_step_pool_ab.json || true
+    commit_results "On-chip step-time profile of the row-pool bottleneck (round-5 planning)"
+fi
+
 # 7. Rebuild the demo on whatever DEFAULT now points at.
 timeout 3600 python scripts/build_demo_notebook.py || true
 git add notebooks 2>/dev/null
