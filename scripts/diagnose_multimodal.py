@@ -158,14 +158,19 @@ def run_model_conditionals(args):
         get_task,
     )
 
-    model, trained = ckpt_mod.load_default()
-    if not trained:
-        raise RuntimeError("no trained checkpoint found")
+    if getattr(args, "ckpt", None):
+        model = ckpt_mod.load(args.ckpt)
+        ckpt_name = args.ckpt
+    else:
+        model, trained = ckpt_mod.load_default()
+        if not trained:
+            raise RuntimeError("no trained checkpoint found")
+        ckpt_name = ckpt_mod.default_checkpoint_path()
     if jax.default_backend() != "tpu" and model.cfg.dtype == "bfloat16":
         model = dataclasses.replace(
             model, cfg=dataclasses.replace(model.cfg, dtype="float32")
         )
-    print(f"[diag] checkpoint: {ckpt_mod.default_checkpoint_path()}", flush=True)
+    print(f"[diag] checkpoint: {ckpt_name}", flush=True)
 
     TASKS = {
         "two_moons": {
@@ -584,6 +589,9 @@ def main():
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     mc = sub.add_parser("model-conditionals")
+    mc.add_argument("--ckpt", default=None,
+                    help="checkpoint path (default: checkpoints/DEFAULT) — "
+                    "lets the probe track live-training snapshots")
     mc.add_argument("--tasks", nargs="+", default=["two_moons", "gaussian_mixture"])
     mc.add_argument("--num_sims", type=int, default=10_000)
     mc.add_argument("--context", type=int, default=2048)
