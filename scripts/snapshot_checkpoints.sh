@@ -24,6 +24,8 @@ while true; do
         dst="$OUT/${TAG}_s${step}.npz"
         if [ -n "$step" ] && [ ! -f "$dst" ]; then
             cp "$CKPT" "$dst.tmp" && mv "$dst.tmp" "$dst"
+            # config sidecar: checkpoint.load(path) requires path+".json"
+            [ -f "$CKPT.json" ] && cp "$CKPT.json" "$dst.json"
             echo "[snapshot] $dst"
             # prune oldest beyond KEEP (by step number, numeric sort)
             ls "$OUT"/${TAG}_s*.npz 2>/dev/null \
