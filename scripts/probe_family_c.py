@@ -98,6 +98,25 @@ def main():
         m = pe > eps
         return float(np.sum(pe[m] * (np.log(pe[m]) - np.log(np.maximum(pm[m], eps))) * dg))
 
+    borders_np = np.asarray(model.borders, np.float64)
+
+    def bar_floor(pe, grid, dg, mu_y, sd_y):
+        """KL(exact || its projection onto the bar head) — the
+        representational floor for this conditional (thin spikes can be
+        sub-bin, so the floor is NOT negligible for family C; reporting
+        kl_excess = kl - floor makes the learning curve interpretable)."""
+        borders = borders_np * sd_y + mu_y
+        pe = np.maximum(pe, 0.0)
+        pe = pe / max(pe.sum() * dg, 1e-300)
+        cdf = np.cumsum(pe) * dg
+        cdf_at = np.interp(borders, grid, cdf, left=0.0, right=1.0)
+        mass = np.diff(cdf_at)
+        widths = np.maximum(np.diff(borders), 1e-12)
+        dens = mass / widths
+        k = np.clip(np.searchsorted(borders[1:-1], grid, side="right"),
+                    0, len(mass) - 1)
+        return kl_grid(pe, dens[k], dg)
+
     def count_modes(grid, p, prom_frac=0.12):
         p = np.maximum(p, 0.0)
         if p.max() <= 0:
@@ -136,11 +155,17 @@ def main():
         dg = grid[1] - grid[0]
         _, lp = model_density(fitted, logits, grid)
         rows = []
+        mu_y = float(fitted.stats.mu_y)
+        sd_y = float(fitted.stats.sd_y)
         for q in range(args.num_qry):
             pe = exact_fn(grid, args.ctx + q)
             pm = np.exp(lp[q] - lp[q].max())
+            kl = kl_grid(pe, pm, dg)
+            floor = bar_floor(pe, grid, dg, mu_y, sd_y)
             rows.append({
-                "kl": kl_grid(pe, pm, dg),
+                "kl": kl,
+                "kl_floor": floor,
+                "kl_excess": kl - floor,
                 "modes_exact": count_modes(grid, pe),
                 "modes_model": count_modes(grid, pm),
             })
@@ -194,6 +219,7 @@ def main():
 
     def summarize(rows):
         kl = np.array([r["kl"] for r in rows])
+        exc = np.array([r.get("kl_excess", r["kl"]) for r in rows])
         me = np.array([r["modes_exact"] for r in rows])
         mm = np.array([r["modes_model"] for r in rows])
         multi = me >= 2
@@ -201,6 +227,8 @@ def main():
             "n": len(rows),
             "kl_mean": float(kl.mean()),
             "kl_median": float(np.median(kl)),
+            "kl_excess_mean": float(exc.mean()),
+            "kl_excess_median": float(np.median(exc)),
             "frac_mode_count_correct": float((me == mm).mean()),
             "frac_multimodal_recovered": (
                 float((mm[multi] >= 2).mean()) if multi.any() else None
