@@ -204,11 +204,13 @@ def main():
         "num_sims": args.num_sims,
     }
     if args.roofline:
+        from npe_pfn_tpu.estimator import _eff_features
         from npe_pfn_tpu.utils.roofline import ar_sampling_roofline
 
         rl = ar_sampling_roofline(
             est.model.cfg, num_ctx=min(args.filter_context, args.num_sims),
             num_qry=num_samples, dim_theta=task.dim_theta, dim_x=task.dim_x,
+            feature_width=_eff_features(est.model, task.dim_x, task.dim_theta),
         )
         rec["roofline"] = rl
         rec["frac_of_roofline"] = round(rl["min_time_s"] / elapsed, 4)

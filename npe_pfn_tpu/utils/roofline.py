@@ -68,18 +68,21 @@ def ar_sampling_roofline(
     dim_x: int,
     peak_flops: float = 197e12,
     hbm_bw: float = 819e9,
+    feature_width: int = None,
 ) -> Dict[str, float]:
     """Speed-of-light estimate for ``NPEPFN.sample(num_qry)``.
 
     Per AR step i: encode ``num_ctx`` rows (self-attention, n_kv=num_ctx)
     and decode ``num_qry`` rows against the cached context
-    (n_kv=num_ctx). Feature tokens: active features + 1 target cell; the
-    kernel pads to max_features, and padded columns are masked but still
-    computed — we charge the PADDED width, because that is what the chip
-    executes (the floor for this implementation, not for an ideal one).
+    (n_kv=num_ctx). Feature tokens: computed width + 1 target cell. The
+    AR kernels slice the padded width to ``_eff_features`` (round-8 of
+    dx+dθ; estimator.py) — pass ``feature_width`` to charge what the chip
+    actually executes; default falls back to the full padded width.
     """
     d = cfg.d_model
-    t_tokens = cfg.max_features + 1
+    if feature_width is None:
+        feature_width = cfg.max_features
+    t_tokens = feature_width + 1
     L = cfg.num_layers
     # parameter count per block: 2 attention sets (8 d^2) + MLP (2*mlp*d^2)
     params_per_block = (8 + 2 * cfg.mlp_ratio) * d * d
