@@ -67,6 +67,20 @@ class PriorConfig:
                                       # makes two_moons bimodal
                                       # (tasks/registry.py:60 |t0+t1|)
     max_mixture_components: int = 4   # K range for family C (2..K)
+    # v6 learnability knobs (round-4 addendum, results/DIAGNOSIS.md): with
+    # unit-scale MLP mean fields and sigma down to 10^-2.5, family-C exact
+    # conditionals are Bayes-unlearnable from <=768 context rows (a kNN-KDE
+    # oracle-free estimator scores KL ~2.4 — WORSE than the v4/v5 models'
+    # ~2.2), so the loss pushes the model to hedge instead of sharpen.
+    # Defaults reproduce the v5 stream byte-for-byte.
+    mm_mu_input_scale: float = 1.0    # scale x before the family-C mu / w
+                                      # MLPs: <1 makes mode locations vary
+                                      # smoothly with x (learnable in
+                                      # context, like two_moons' crescents)
+    mm_sig_lo: float = -2.5           # log10 lower bound of family-C
+                                      # component scales; -1.7 (~0.02z)
+                                      # keeps thin modes resolvable from
+                                      # ~500-row context neighborhoods
 
 
 @dataclasses.dataclass
@@ -134,17 +148,17 @@ def _family_c(rng: jax.Array, cfg: PriorConfig, xin: jnp.ndarray):
     R = xin.shape[0]
     kc = jax.random.split(rng, 10)
     K = cfg.max_mixture_components
-    mu_raw = _random_mlp(kc[0], xin, K, cfg.hidden)  # [R, K]
+    mu_raw = _random_mlp(kc[0], xin * cfg.mm_mu_input_scale, K, cfg.hidden)  # [R, K]
     mu_sd = jnp.maximum(jnp.std(mu_raw, axis=0, keepdims=True), 1e-6)
     mu = (mu_raw - jnp.mean(mu_raw, axis=0, keepdims=True)) / mu_sd
     sep = jax.random.uniform(kc[1], (), minval=0.3, maxval=2.0)
     mu = mu * sep
     collapse = jax.random.bernoulli(kc[2], 0.3)
     mu = jnp.where(collapse, jnp.broadcast_to(mu[:, :1], mu.shape), mu)
-    sig = 10.0 ** jax.random.uniform(kc[3], (K,), minval=-2.5, maxval=-0.2)
+    sig = 10.0 ** jax.random.uniform(kc[3], (K,), minval=cfg.mm_sig_lo, maxval=-0.2)
     k_live = jax.random.randint(kc[4], (), 2, K + 1)
     comp_alive = jnp.arange(K) < k_live
-    wlog_x = _random_mlp(kc[5], xin, K, cfg.hidden)
+    wlog_x = _random_mlp(kc[5], xin * cfg.mm_mu_input_scale, K, cfg.hidden)
     temp = jax.random.uniform(kc[6], (), minval=0.5, maxval=2.0)
     use_xw = jax.random.bernoulli(kc[7], 0.5)
     wlog_g = jax.random.normal(kc[8], (K,))

@@ -54,6 +54,13 @@ def main():
     p.add_argument("--p_sym_fold", type=float, default=0.0,
                    help="fraction of inverse tasks with |.|-folded theta")
     p.add_argument("--max_mixture_components", type=int, default=4)
+    p.add_argument("--mm_mu_input_scale", type=float, default=1.0,
+                   help="scale x before the family-C mu/w MLPs; <1 makes "
+                   "mode locations vary smoothly with x so thin modes are "
+                   "learnable in context (results/DIAGNOSIS.md addendum)")
+    p.add_argument("--mm_sig_lo", type=float, default=-2.5,
+                   help="log10 lower bound of family-C component scales; "
+                   "-1.7 keeps thin modes resolvable from ~500-row context")
     # Feature-count curriculum (see TrainConfig.feat_curriculum_steps)
     p.add_argument("--feat_curriculum_steps", type=int, default=0)
     p.add_argument("--feat_curriculum_init", type=int, default=8)
@@ -135,6 +142,8 @@ def main():
         p_multimodal=args.p_multimodal,
         p_sym_fold=args.p_sym_fold,
         max_mixture_components=args.max_mixture_components,
+        mm_mu_input_scale=args.mm_mu_input_scale,
+        mm_sig_lo=args.mm_sig_lo,
     )
 
     import jax

@@ -18,6 +18,17 @@ by KL(exact || model) on a y-grid at query rows, and by whether it
 recovers the right number of modes. Appends one JSON line per run to
 `results/probe_family_c.jsonl` so snapshots trace a learning curve.
 
+Round-4 addendum (results/DIAGNOSIS.md): KL vs the EXACT conditional is
+partly irreducible — with unit-scale MLP mean fields and sigma down to
+10^-2.5, no in-context estimator can recover the true mixture from ~500
+rows (a kNN-KDE oracle scores KL ~2.4 on the same tasks, WORSE than the
+v4 model's ~2.2). Each run therefore also reports metrics that stay
+meaningful under irreducibility: `kl_knn_baseline` (beat-the-oracle-free-
+baseline), and the held-out NLL gap `nll_model - nll_exact` at the true
+query draws (drops exactly when the model learns, regardless of how hard
+the exact target is). Family C is probed at BOTH 8 active features (the
+training-max regime) and 2 (the two_moons-like regime).
+
 CPU-friendly: run with JAX_PLATFORMS=cpu and PYTHONPATH without
 /root/.axon_site (CLAUDE.md); one probe run at 768 ctx x 32 tasks takes a
 few minutes on the 1-core box.
@@ -139,13 +150,15 @@ def main():
         return n
 
     def score_task(xin_act, y_ctx_raw, exact_fn, y_all):
-        """xin_act [R, n_active]; y_ctx_raw [ctx]; exact_fn(grid, row)->[G];
+        """xin_act [R, n_act]; y_ctx_raw [ctx]; exact_fn(grid, row)->[G];
         y_all [R] for grid range. Returns list of per-query dicts."""
-        xc = jnp.zeros((args.ctx, f), jnp.float32).at[:, :n_active].set(
+        n_act = xin_act.shape[1]
+        xc = jnp.zeros((args.ctx, f), jnp.float32).at[:, :n_act].set(
             xin_act[: args.ctx]
         )
-        fitted = regressor.fit_encode(model, xc, jnp.asarray(y_ctx_raw), feat_mask)
-        xq = jnp.zeros((args.num_qry, f), jnp.float32).at[:, :n_active].set(
+        fmask = col < n_act
+        fitted = regressor.fit_encode(model, xc, jnp.asarray(y_ctx_raw), fmask)
+        xq = jnp.zeros((args.num_qry, f), jnp.float32).at[:, :n_act].set(
             xin_act[args.ctx :]
         )
         logits = regressor.predict_logits(model, fitted, xq)
@@ -157,41 +170,67 @@ def main():
         rows = []
         mu_y = float(fitted.stats.mu_y)
         sd_y = float(fitted.stats.sd_y)
+        x_np = np.asarray(xin_act, np.float64)
+        y_np = np.asarray(y_all, np.float64)
+        sd_marg = float(np.std(y_np)) or 1.0
         for q in range(args.num_qry):
             pe = exact_fn(grid, args.ctx + q)
             pm = np.exp(lp[q] - lp[q].max())
             kl = kl_grid(pe, pm, dg)
             floor = bar_floor(pe, grid, dg, mu_y, sd_y)
+            # Oracle-free kNN-KDE baseline on the same context: beatable
+            # exactly when the conditional is in-context learnable.
+            d = np.linalg.norm(x_np[: args.ctx] - x_np[args.ctx + q], axis=1)
+            ys = y_np[np.argsort(d)[:48]]
+            h = max(1.06 * float(np.std(ys)) * 48 ** -0.2, 1e-3 * sd_marg)
+            zk = (grid[None, :] - ys[:, None]) / h
+            kde = (np.exp(-0.5 * zk * zk) / (np.sqrt(2 * np.pi) * h)).mean(0)
+            # Held-out NLL at the TRUE query draw: meaningful even when the
+            # exact target is irreducible (nll_exact is the floor given the
+            # true mixture parameters).
+            y_true = y_np[args.ctx + q]
+            lp_norm = lp[q] - np.log(max(np.exp(lp[q]).sum() * dg, 1e-300))
+            nll_model = -float(np.interp(y_true, grid, lp_norm))
+            pe_n = np.maximum(pe, 0.0)
+            pe_n = pe_n / max(pe_n.sum() * dg, 1e-300)
+            nll_exact = -float(np.log(max(
+                np.interp(y_true, grid, pe_n), 1e-300)))
             rows.append({
                 "kl": kl,
                 "kl_floor": floor,
                 "kl_excess": kl - floor,
+                "kl_knn_baseline": kl_grid(pe, kde, dg),
+                "nll_model": nll_model,
+                "nll_exact": nll_exact,
                 "modes_exact": count_modes(grid, pe),
                 "modes_model": count_modes(grid, pm),
             })
         return rows
 
     key0 = jax.random.PRNGKey(args.seed)
-    results = {"family_c": [], "bimodal": [], "spike_slab": []}
+    results = {"family_c": [], "family_c_2d": [], "bimodal": [], "spike_slab": []}
 
     # ---- family C draws (the actual training family, exact conditionals) --
+    # Probed at the training-max 8 active features AND at 2 (the benchmark-
+    # like regime where the conditional is densest in context).
     pcfg_c = dataclasses.replace(pcfg)
-    for t in range(args.num_tasks):
-        key = jax.random.fold_in(key0, t)
-        xin = jax.random.normal(jax.random.fold_in(key, 1), (R, n_active))
-        y, (mu_k, sig_k, wlog) = prior._family_c(
-            jax.random.fold_in(key, 2), pcfg_c, xin
-        )
-        w_all = np.asarray(jax.nn.softmax(wlog, axis=-1))
-        mu_all = np.asarray(mu_k)
-        sig_all = np.asarray(sig_k)
+    for sec, n_act in (("family_c", n_active), ("family_c_2d", 2)):
+        for t in range(args.num_tasks):
+            key = jax.random.fold_in(key0, t if sec == "family_c" else 777 + t)
+            xin = jax.random.normal(jax.random.fold_in(key, 1), (R, n_act))
+            y, (mu_k, sig_k, wlog) = prior._family_c(
+                jax.random.fold_in(key, 2), pcfg_c, xin
+            )
+            w_all = np.asarray(jax.nn.softmax(wlog, axis=-1))
+            mu_all = np.asarray(mu_k)
+            sig_all = np.asarray(sig_k)
 
-        def exact_fn(grid, row, mu_all=mu_all, sig_all=sig_all, w_all=w_all):
-            return mixture_density(grid, mu_all[row], sig_all, w_all[row])
+            def exact_fn(grid, row, mu_all=mu_all, sig_all=sig_all, w_all=w_all):
+                return mixture_density(grid, mu_all[row], sig_all, w_all[row])
 
-        results["family_c"].extend(
-            score_task(xin, np.asarray(y)[: args.ctx], exact_fn, np.asarray(y))
-        )
+            results[sec].extend(
+                score_task(xin, np.asarray(y)[: args.ctx], exact_fn, np.asarray(y))
+            )
 
     # ---- canonical shapes: x-independent, so ctx y ~ the mixture itself ---
     def canonical(name, mus, sigs, ws, t_seed):
@@ -220,6 +259,8 @@ def main():
     def summarize(rows):
         kl = np.array([r["kl"] for r in rows])
         exc = np.array([r.get("kl_excess", r["kl"]) for r in rows])
+        knn = np.array([r["kl_knn_baseline"] for r in rows])
+        gap = np.array([r["nll_model"] - r["nll_exact"] for r in rows])
         me = np.array([r["modes_exact"] for r in rows])
         mm = np.array([r["modes_model"] for r in rows])
         multi = me >= 2
@@ -229,6 +270,10 @@ def main():
             "kl_median": float(np.median(kl)),
             "kl_excess_mean": float(exc.mean()),
             "kl_excess_median": float(np.median(exc)),
+            "kl_knn_baseline_mean": float(knn.mean()),
+            "frac_beats_knn": float((kl < knn).mean()),
+            "nll_gap_mean": float(gap.mean()),
+            "nll_gap_median": float(np.median(gap)),
             "frac_mode_count_correct": float((me == mm).mean()),
             "frac_multimodal_recovered": (
                 float((mm[multi] >= 2).mean()) if multi.any() else None
