@@ -40,6 +40,27 @@ def clear_tpu_chip():
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         return  # CPU run — no chip contention
 
+    # Our own supervisor chain is not a foreign workload: when bench runs
+    # AS A STAGE of the measurement queue (scripts/round5_tpu_queue.sh),
+    # /tmp/queue.pid names an ANCESTOR of this process — freezing that
+    # tree would SIGSTOP our own parents and SIGTERM bench itself (the
+    # exact failure that silently skipped both round-4 bench stages:
+    # bench is a python leaf of the queue's tree, so it killed itself
+    # before producing a byte of output).
+    def ppid(pid):
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                # comm may contain spaces/parens; ppid is the field after
+                # the state flag, both following the last ')'.
+                return int(f.read().rsplit(")", 1)[1].split()[1])
+        except (OSError, ValueError, IndexError):
+            return 0
+
+    ancestors, pid = set(), os.getpid()
+    while pid > 1:
+        ancestors.add(pid)
+        pid = ppid(pid)
+
     roots = []
     for envvar, default in (
         ("PRETRAIN_PIDFILE", "/tmp/pretrain.pid"),
@@ -49,7 +70,8 @@ def clear_tpu_chip():
         try:
             pid = int(open(path).read().strip())
             os.kill(pid, 0)
-            roots.append(pid)
+            if pid not in ancestors:
+                roots.append(pid)
         except (OSError, ValueError):
             continue
     if not roots:

@@ -152,6 +152,27 @@ def test_guard_noop_on_cpu(dummy_watchdog, monkeypatch):
     assert _proc_state(dummy_watchdog.pid) != "T"  # untouched
 
 
+def test_guard_skips_own_ancestor_chain(tmp_path, monkeypatch):
+    """bench launched AS A QUEUE STAGE must not freeze/kill its own tree.
+
+    Regression: round5_tpu_queue.sh stage 2 runs bench.py as a descendant
+    of the process named by /tmp/queue.pid; the guard walked that tree,
+    SIGSTOPped bench's own supervisors and SIGTERMed bench itself, so both
+    bench stages silently produced nothing.
+    """
+    own = tmp_path / "queue.pid"
+    own.write_text(str(os.getpid()))  # self is trivially its own ancestor
+    parent = tmp_path / "wd.pid"
+    parent.write_text(str(os.getppid()))
+    monkeypatch.setenv("QUEUE_PIDFILE", str(own))
+    monkeypatch.setenv("PRETRAIN_PIDFILE", str(parent))
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    bench.clear_tpu_chip()  # must be a no-op, not self-termination
+    assert _proc_state(os.getpid()) in ("R", "S", "D")
+    if os.getppid() > 1:
+        assert _proc_state(os.getppid()) != "T"
+
+
 def test_guard_noop_without_pidfile(tmp_path, monkeypatch):
     monkeypatch.setenv("PRETRAIN_PIDFILE", str(tmp_path / "absent.pid"))
     monkeypatch.setenv("QUEUE_PIDFILE", str(tmp_path / "absent2.pid"))
