@@ -1,0 +1,40 @@
+#!/bin/bash
+# Learnability probe of the ROUND-5 (v6) family-C regime, before any chip
+# budget is spent on it (results/DIAGNOSIS.md round-4 addendum).
+#
+# The v5 regime (mm_mu_input_scale=1.0, mm_sig_lo=-2.5) was measured
+# IRREDUCIBLE in-context: a tiny model trained purely on it scores
+# family-C KL 2.91 vs a kNN-KDE oracle-free baseline of 2.65
+# (results/learnability_family_c.jsonl) — unit-scale MLP mode-location
+# fields with sigma down to 0.003z cannot be located from ~500 rows, and
+# training on them teaches hedging.
+#
+# v6 keeps family C but makes it learnable:
+#   --mm_mu_input_scale 0.3   smooth mode-location fields (the kNN-KDE
+#                             gap halves at lambda=0.3, DIAGNOSIS table)
+#   --mm_sig_lo -1.7          sigma floor 0.02z — modes stay resolvable
+#
+# Same tiny-model protocol as scripts/learnability_family_c.sh so the two
+# JSONL rows are directly comparable. Accept the v6 recipe iff the tiny
+# model now clearly beats the kNN baseline (frac_beats_knn >> 0.5) and
+# kl_excess drops well below the v5-regime 2.65.
+set -u
+cd "$(dirname "$0")/.."
+STEPS=${STEPS:-2500}
+CKPT=${CKPT:-/tmp/famc_tiny_v6.npz}
+
+JAX_PLATFORMS=cpu PYTHONPATH=. python scripts/pretrain_tabica.py \
+    --ckpt "$CKPT" --log /tmp/famc_tiny_v6_log.jsonl \
+    --max_steps "$STEPS" --num_datasets 4 \
+    --d_model 64 --num_heads 2 --num_layers 3 \
+    --num_bars 256 --max_features 8 --max_active_features 8 \
+    --num_ctx 256 --num_qry 64 \
+    --lr 1e-3 --warmup_steps 100 --val_every 250 --ckpt_every 500 \
+    --dtype float32 --p_multimodal 1.0 \
+    --mm_mu_input_scale 0.3 --mm_sig_lo -1.7 --no_resume \
+    > /tmp/famc_tiny_v6_train.log 2>&1
+
+JAX_PLATFORMS=cpu PYTHONPATH=. python scripts/probe_family_c.py \
+    --ckpt "$CKPT" --num_tasks 16 --ctx 256 \
+    --mm_mu_input_scale 0.3 --mm_sig_lo -1.7 \
+    --out results/learnability_family_c.jsonl

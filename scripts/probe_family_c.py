@@ -55,6 +55,12 @@ def main():
     p.add_argument("--num_qry", type=int, default=4)
     p.add_argument("--grid", type=int, default=768)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mm_mu_input_scale", type=float, default=1.0,
+                   help="family-C mode-location smoothness for the PROBE "
+                   "tasks (match the training regime being scored; <1 = "
+                   "the learnable v6 regime, results/DIAGNOSIS.md)")
+    p.add_argument("--mm_sig_lo", type=float, default=-2.5,
+                   help="log10 sigma floor of the probe's family-C tasks")
     p.add_argument("--out", default="results/probe_family_c.jsonl")
     args = p.parse_args()
 
@@ -213,7 +219,10 @@ def main():
     # ---- family C draws (the actual training family, exact conditionals) --
     # Probed at the training-max 8 active features AND at 2 (the benchmark-
     # like regime where the conditional is densest in context).
-    pcfg_c = dataclasses.replace(pcfg)
+    pcfg_c = dataclasses.replace(
+        pcfg, mm_mu_input_scale=args.mm_mu_input_scale,
+        mm_sig_lo=args.mm_sig_lo,
+    )
     for sec, n_act in (("family_c", n_active), ("family_c_2d", 2)):
         for t in range(args.num_tasks):
             key = jax.random.fold_in(key0, t if sec == "family_c" else 777 + t)
@@ -286,6 +295,8 @@ def main():
         "ctx": args.ctx,
         "num_tasks": args.num_tasks,
         "seed": args.seed,
+        "mm_mu_input_scale": args.mm_mu_input_scale,
+        "mm_sig_lo": args.mm_sig_lo,
         **{k: summarize(v) for k, v in results.items()},
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
