@@ -147,22 +147,45 @@ def section_jsonl_curve(lines, results, fname, title, xkey, ykey):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--results", default="results")
+    ap.add_argument("--grid", default=None,
+                    help="directory holding the CURRENT eval grid "
+                    "(*.summary.json) and per-round jsonl curves, when the "
+                    "round wrote them to a fresh subdir (e.g. "
+                    "results/round5) while bench/gate artifacts stay in "
+                    "--results. Default: newest results/round*/ containing "
+                    "summaries, else --results itself.")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+
+    grid = args.grid
+    if grid is None:
+        cands = [d for d in sorted(glob.glob(os.path.join(args.results, "round*")))
+                 if glob.glob(os.path.join(d, "*.summary.json"))]
+        grid = cands[-1] if cands else args.results
 
     lines = ["# Results summary (generated by scripts/round_summary.py)\n"]
     section_bench(lines, args.results)
     section_gate(lines, args.results)
     section_bundle(lines, args.results)
-    section_grid(lines, args.results)
-    section_jsonl_curve(
-        lines, args.results, "length_generalization.jsonl",
-        "Length generalization (C2ST vs context rows)", "context_size", "c2st",
-    )
-    section_jsonl_curve(
-        lines, args.results, "tsnpe_efficiency.jsonl",
-        "TSNPE simulation efficiency (C2ST vs rounds)", "rounds", "c2st",
-    )
+    if grid != args.results:
+        lines.append(f"_grid directory: `{grid}`_\n")
+    section_grid(lines, grid)
+    for d in dict.fromkeys([grid, args.results]):
+        section_jsonl_curve(
+            lines, d, "length_generalization.jsonl",
+            f"Length generalization (C2ST vs context rows) [{d}]",
+            "context_size", "c2st",
+        )
+        section_jsonl_curve(
+            lines, d, "tsnpe_efficiency_goodtasks.jsonl",
+            f"TSNPE simulation efficiency, data-responsive tasks "
+            f"(C2ST vs rounds) [{d}]", "rounds", "c2st",
+        )
+        section_jsonl_curve(
+            lines, d, "tsnpe_efficiency.jsonl",
+            f"TSNPE simulation efficiency (C2ST vs rounds) [{d}]",
+            "rounds", "c2st",
+        )
     body = "\n".join(lines) + "\n"
     out = args.out or os.path.join(args.results, "SUMMARY.md")
     with open(out, "w") as f:
