@@ -1125,6 +1125,113 @@ class NPEPFN:
             out.append(acceptance)
         return out[0] if len(out) == 1 else tuple(out)
 
+    def sample_refined(
+        self,
+        num_samples,
+        x: Array,
+        simulator: Callable[[jax.Array, Array], Array],
+        rng: Optional[jax.Array] = None,
+        num_proposals: Optional[int] = None,
+        eps: Optional[float] = None,
+        eps_quantile: float = 0.02,
+        kernel: str = "gaussian",
+        importance_correct: bool = False,
+        max_iters: int = 10,
+        max_sampling_batch_size: int = 10_000,
+    ) -> Array:
+        """Posterior-predictive (ABC-SIR) refinement of amortized samples.
+
+        Beyond-reference capability motivated by the measured failure mode
+        of the in-context posterior on thin multimodal tasks
+        (results/diagnosis_symfold_transfer.json): the amortized posterior
+        allocates mass to the right modes but smears them locally. Since the
+        SBI setting provides the simulator at inference (the reference
+        already assumes this for sequential rounds, tsnpe_pfn.py:40-77),
+        each proposal θᵢ can be scored by how well its own simulation
+        matches the observation — sampling-importance-resampling with an
+        ABC kernel, using the amortized posterior as the proposal:
+
+          1. draw P proposals from the amortized posterior (one fused call),
+          2. simulate xᵢ = simulator(kᵢ, θᵢ) for each (vmapped, on device),
+          3. weight wᵢ ∝ K((‖(xᵢ−x_o)/sd_x‖)/ε), resample ``num_samples``.
+
+        As ε → the simulator's intrinsic noise scale this converges to the
+        exact posterior restricted to the proposal's support — measured on
+        two_moons: C2ST 0.898 → 0.683 with P=8k, ε at the 2% distance
+        quantile. Cost: ``num_proposals`` extra simulator calls; report
+        budgets accordingly (this is NOT a free-quality knob — it trades
+        simulations for precision, the same currency as TSNPE rounds).
+
+        kernel: "gaussian" (soft weights, default) or "hard" (uniform over
+        d ≤ ε — classic rejection-ABC).
+
+        importance_correct: also multiply weights by prior(θ)/q(θ) with q
+        the AR log_prob, which makes the ε→0 limit exactly the ABC
+        posterior rather than q·K. Off by default: measured on two_moons
+        the correction is strictly worse at every ε (the AR density's own
+        error adds variance faster than the bias it removes).
+
+        Diagnostics land in ``self.last_refine_diagnostics`` (ess, eps,
+        num_proposals).
+        """
+        num_samples = self._num_from_shape(num_samples)
+        if kernel not in ("gaussian", "hard"):
+            raise ValueError("kernel must be 'gaussian' or 'hard'")
+        if self._x_train is None:
+            raise RuntimeError("call append_simulations before sample_refined")
+        if num_proposals is None:
+            num_proposals = max(8 * num_samples, 8192)
+        rng = self._next_rng(rng)
+        k_prop, k_sim, k_res = jax.random.split(rng, 3)
+
+        proposals = self.sample(
+            num_proposals, x, rng=k_prop, max_iters=max_iters,
+            max_sampling_batch_size=max_sampling_batch_size,
+        )
+
+        x_o = self._prep_obs(x)
+        if x_o.ndim == 2:
+            x_o = x_o[0]
+        sim_keys = jax.random.split(k_sim, num_proposals)
+        x_sim = jax.jit(jax.vmap(simulator))(sim_keys, proposals)
+        x_sim = jnp.asarray(x_sim, jnp.float32).reshape(num_proposals, -1)
+        if self.embedding_net is not None:
+            x_sim = jnp.asarray(self.embedding_net(x_sim))
+        # z-scored distance in the same units the context filter uses
+        sd_x = jnp.maximum(jnp.std(self._x_train, axis=0), 1e-6)
+        d = jnp.linalg.norm((x_sim - x_o[None, :]) / sd_x, axis=-1)
+
+        eps_val = jnp.quantile(d, eps_quantile) if eps is None else jnp.asarray(eps)
+        eps_val = jnp.maximum(eps_val, 1e-8)
+        if kernel == "gaussian":
+            logw = -0.5 * (d / eps_val) ** 2
+        else:
+            logw = jnp.where(d <= eps_val, 0.0, -jnp.inf)
+        if importance_correct:
+            logq = self.log_prob(
+                proposals, x, mode="autoregressive",
+                max_sampling_batch_size=max_sampling_batch_size,
+            )
+            logw = logw + self.prior.log_prob(proposals) - logq
+        logw = jnp.where(jnp.isfinite(logw), logw, -jnp.inf)
+        # Degenerate guard: all weights -inf (hard kernel with eps below
+        # every distance) falls back to uniform over proposals.
+        all_dead = jnp.all(jnp.isinf(logw))
+        logw = jnp.where(all_dead, jnp.zeros_like(logw), logw)
+
+        w = jax.nn.softmax(logw)
+        ess = 1.0 / jnp.sum(w**2)
+        idx = jax.random.categorical(k_res, logw, shape=(num_samples,))
+        refined = proposals[idx]
+        self.last_refine_diagnostics = {
+            "ess": float(ess),
+            "eps": float(eps_val),
+            "num_proposals": int(num_proposals),
+            "min_distance": float(jnp.min(d)),
+            "fallback_uniform": bool(all_dead),
+        }
+        return refined
+
     def sample_batched(
         self,
         num_samples,
