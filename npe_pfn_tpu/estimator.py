@@ -111,7 +111,13 @@ def autoregressive_sample(
     approximations of the same posterior — NPEPFN can ensemble over them
     (num_order_ensembles), the analog of TabPFN's preprocessing ensembles
     for the factorization axis.
+
+    A ``"+featq"`` suffix on ``target_transform`` additionally maps every
+    FEATURE column (x and θ-as-conditioning) to normal scores fitted on the
+    masked context — TabPFN's feature-side preprocessing-ensemble member
+    (SURVEY §2.4); queries ride the same fitted maps, no Jacobian owed.
     """
+    target_transform, feat_q = preprocessing.parse_transform(target_transform)
     n, dth = theta_ctx.shape
     q, dx = x_qry.shape
     if dx + dth > model.cfg.max_features:
@@ -125,6 +131,9 @@ def autoregressive_sample(
 
     xc = jnp.zeros((n, f), theta_ctx.dtype)
     xc = xc.at[:, :dx].set(x_ctx).at[:, dx : dx + dth].set(theta_ctx)
+    if feat_q:
+        qts_f = preprocessing.quantile_fit_cols(xc, ctx_mask)
+        xc = preprocessing.quantile_forward_cols(qts_f, xc)
     order = jnp.arange(dth) if dim_order is None else jnp.asarray(dim_order)
     prefix_masks = _order_prefix_masks(order, dx, f)
 
@@ -139,6 +148,8 @@ def autoregressive_sample(
         fitted = regressor.fit_encode(model, xc, y_ctx, feat_mask, ctx_mask)
         xq = jnp.zeros((q, f), x_qry.dtype)
         xq = xq.at[:, :dx].set(x_qry).at[:, dx : dx + dth].set(theta_sm)
+        if feat_q:
+            xq = preprocessing.quantile_forward_cols(qts_f, xq)
         logits = jax.lax.map(
             lambda chunk: regressor.predict_logits(model, fitted, chunk),
             xq.reshape(q // qry_chunk, qry_chunk, f),
@@ -175,6 +186,7 @@ def autoregressive_log_prob(
     the reference's -inf→log(eps) flooring (npe_pfn.py:153-158) is moot.
     ``dim_order`` scores the factorization along that permutation (see
     autoregressive_sample)."""
+    target_transform, feat_q = preprocessing.parse_transform(target_transform)
     n, dth = theta_ctx.shape
     q, dx = x_qry.shape
     f = feature_width or _eff_features(model, dx, dth)
@@ -184,6 +196,10 @@ def autoregressive_log_prob(
     xc = xc.at[:, :dx].set(x_ctx).at[:, dx : dx + dth].set(theta_ctx)
     xq_full = jnp.zeros((q, f), x_qry.dtype)
     xq_full = xq_full.at[:, :dx].set(x_qry).at[:, dx : dx + dth].set(theta_eval)
+    if feat_q:
+        qts_f = preprocessing.quantile_fit_cols(xc, ctx_mask)
+        xc = preprocessing.quantile_forward_cols(qts_f, xc)
+        xq_full = preprocessing.quantile_forward_cols(qts_f, xq_full)
     order = jnp.arange(dth) if dim_order is None else jnp.asarray(dim_order)
     prefix_masks = _order_prefix_masks(order, dx, f)
 
@@ -232,6 +248,7 @@ def autoregressive_sample_ensemble(
     conditional is the equal-weight mixture of member bar distributions
     (sampled by picking a member per query row; scored by logsumexp).
     """
+    target_transform, feat_q = preprocessing.parse_transform(target_transform)
     e, n_e, dth = theta_ctx.shape
     q, dx = x_qry.shape
     f = feature_width or _eff_features(model, dx, dth)
@@ -239,6 +256,9 @@ def autoregressive_sample_ensemble(
 
     xc = jnp.zeros((e, n_e, f), theta_ctx.dtype)
     xc = xc.at[..., :dx].set(x_ctx).at[..., dx : dx + dth].set(theta_ctx)
+    if feat_q:
+        qts_f = jax.vmap(preprocessing.quantile_fit_cols)(xc, ctx_mask)
+        xc = jax.vmap(preprocessing.quantile_forward_cols)(qts_f, xc)
     col = jnp.arange(f)
 
     def step(theta_sm, inp):
@@ -255,12 +275,24 @@ def autoregressive_sample_ensemble(
         )(xc, y_ctx, ctx_mask)
         xq = jnp.zeros((q, f), x_qry.dtype)
         xq = xq.at[:, :dx].set(x_qry).at[:, dx : dx + dth].set(theta_sm)
-        chunks = xq.reshape(q // qry_chunk, qry_chunk, f)
-        logits = jax.vmap(
-            lambda fm: jax.lax.map(
-                lambda c: regressor.predict_logits(model, fm, c), chunks
-            ).reshape(q, -1)
-        )(fitted)  # [E, Q, B]
+        if feat_q:
+            # per-member fitted feature maps → per-member query matrices
+            xq_e = jax.vmap(
+                lambda qm: preprocessing.quantile_forward_cols(qm, xq)
+            )(qts_f)  # [E, Q, f]
+            logits = jax.vmap(
+                lambda fm, xqm: jax.lax.map(
+                    lambda c: regressor.predict_logits(model, fm, c),
+                    xqm.reshape(q // qry_chunk, qry_chunk, f),
+                ).reshape(q, -1)
+            )(fitted, xq_e)  # [E, Q, B]
+        else:
+            chunks = xq.reshape(q // qry_chunk, qry_chunk, f)
+            logits = jax.vmap(
+                lambda fm: jax.lax.map(
+                    lambda c: regressor.predict_logits(model, fm, c), chunks
+                ).reshape(q, -1)
+            )(fitted)  # [E, Q, B]
 
         k_m, k_s = jax.random.split(key)
         member = jax.random.randint(k_m, (q,), 0, e)
@@ -303,6 +335,7 @@ def autoregressive_log_prob_ensemble(
 ) -> Array:
     """Score log q(θ|x) under the same context-subset mixture that
     autoregressive_sample_ensemble draws from."""
+    target_transform, feat_q = preprocessing.parse_transform(target_transform)
     e, n_e, dth = theta_ctx.shape
     q, dx = x_qry.shape
     f = feature_width or _eff_features(model, dx, dth)
@@ -312,6 +345,12 @@ def autoregressive_log_prob_ensemble(
     xc = xc.at[..., :dx].set(x_ctx).at[..., dx : dx + dth].set(theta_ctx)
     xq = jnp.zeros((q, f), x_qry.dtype)
     xq = xq.at[:, :dx].set(x_qry).at[:, dx : dx + dth].set(theta_eval)
+    if feat_q:
+        qts_f = jax.vmap(preprocessing.quantile_fit_cols)(xc, ctx_mask)
+        xc = jax.vmap(preprocessing.quantile_forward_cols)(qts_f, xc)
+        xq_e = jax.vmap(
+            lambda qm: preprocessing.quantile_forward_cols(qm, xq)
+        )(qts_f)  # [E, Q, f]
     chunks = xq.reshape(q // qry_chunk, qry_chunk, f)
     col = jnp.arange(f)
 
@@ -326,11 +365,19 @@ def autoregressive_log_prob_ensemble(
         fitted = jax.vmap(
             lambda xcm, ycm, cmm: regressor.fit_encode(model, xcm, ycm, feat_mask, cmm)
         )(xc, y_ctx, ctx_mask)
-        logits = jax.vmap(
-            lambda fm: jax.lax.map(
-                lambda c: regressor.predict_logits(model, fm, c), chunks
-            ).reshape(q, -1)
-        )(fitted)
+        if feat_q:
+            logits = jax.vmap(
+                lambda fm, xqm: jax.lax.map(
+                    lambda c: regressor.predict_logits(model, fm, c),
+                    xqm.reshape(q // qry_chunk, qry_chunk, f),
+                ).reshape(q, -1)
+            )(fitted, xq_e)
+        else:
+            logits = jax.vmap(
+                lambda fm: jax.lax.map(
+                    lambda c: regressor.predict_logits(model, fm, c), chunks
+                ).reshape(q, -1)
+            )(fitted)
         th_i = jnp.take(theta_eval, i, axis=1)
         th_b = jnp.broadcast_to(th_i[None, :], (e, q))
         if target_transform == "quantile":
@@ -524,9 +571,12 @@ class NPEPFN:
         num_ensembles: int = 1,
         num_order_ensembles: int = 1,
         target_transform: str = "zscore",
+        feature_transform: str = "none",
     ):
         if target_transform not in ("zscore", "quantile"):
             raise ValueError(f"unknown target_transform {target_transform!r}")
+        if feature_transform not in ("none", "quantile"):
+            raise ValueError(f"unknown feature_transform {feature_transform!r}")
         if model is None:
             model, trained = ckpt_mod.load_default()
             if not trained:
@@ -557,7 +607,14 @@ class NPEPFN:
             )
         # Target preprocessing: "zscore" (plain) or "quantile" (normal-score
         # transform per θ-dimension — TabPFN preprocessing-ensemble variant).
-        self.target_transform = target_transform
+        # feature_transform="quantile" additionally normal-scores every
+        # FEATURE column (TabPFN also transforms X per ensemble member,
+        # SURVEY §2.4); it rides the same static spec string the kernels
+        # thread ("+featq" suffix, preprocessing.parse_transform).
+        self.feature_transform = feature_transform
+        self.target_transform = target_transform + (
+            "+featq" if feature_transform == "quantile" else ""
+        )
         # Pre-embedding observation shape for reshaping raw inputs before the
         # embedding net (reference npe_pfn.py:272-274 x.reshape(-1, *x_shape)).
         self.x_shape = tuple(x_shape) if x_shape is not None else None
@@ -585,6 +642,7 @@ class NPEPFN:
         state["_x_train"] = None if self._x_train is None else np.asarray(self._x_train)
         state["_ratio"] = None  # lazily rebuilt, like the reference drops models
         state["_fused_rej_cache"] = {}  # jitted closures are not picklable
+        state["_sim_cache"] = None
         return state
 
     def __setstate__(self, state):
@@ -617,7 +675,15 @@ class NPEPFN:
         if theta.shape[0] != x.shape[0]:
             raise ValueError("theta and x must have the same number of rows")
         if self.embedding_net is not None:
-            x = jnp.asarray(self.embedding_net(x))
+            # Same contract as _prep_obs / sample_refined: a shaped embedding
+            # net (x_shape set) receives context rows in that shape too
+            # (reference npe_pfn.py:272-274 reshapes before embedding).
+            if self.x_shape is not None:
+                x = jnp.asarray(
+                    self.embedding_net(x.reshape(-1, *self.x_shape))
+                ).reshape(x.shape[0], -1)
+            else:
+                x = jnp.asarray(self.embedding_net(x))
         self._theta_train, self._x_train = theta, x
         self._ctx_version += 1
         return self
@@ -657,6 +723,44 @@ class NPEPFN:
             self._effective_context_size,
             rng=self._next_rng(rng),
         )
+
+    def _run_simulator(self, simulator, keys: Array, theta: Array) -> Array:
+        """Vectorized simulator driver for sample_refined / TSNPE refinement.
+
+        Jax-traceable simulators run as ONE jitted vmap on device; the
+        compiled callable is cached per simulator object (weakly — dropping
+        the simulator drops the cache entry) so repeated refinement calls
+        reuse the trace. Non-traceable simulators (numpy/scipy, like the
+        reference's un-jitted simulate_for_sbi path, tsnpe_pfn.py:40-77)
+        fall back to a host loop.
+        """
+        cache = getattr(self, "_sim_cache", None)
+        if cache is None:
+            import weakref
+
+            cache = self._sim_cache = weakref.WeakKeyDictionary()
+        try:
+            fn = cache.get(simulator)
+        except TypeError:  # unhashable / non-weakrefable callable
+            fn = None
+            cache = None
+        if fn is None:
+            fn = jax.jit(jax.vmap(simulator))
+            if cache is not None:
+                try:
+                    cache[simulator] = fn
+                except TypeError:
+                    pass
+        try:
+            return jnp.asarray(fn(keys, theta))
+        except Exception:
+            theta_h = np.asarray(theta)
+            keys_h = np.asarray(keys)
+            out = [
+                np.asarray(simulator(jnp.asarray(keys_h[i]), theta_h[i]))
+                for i in range(theta_h.shape[0])
+            ]
+            return jnp.asarray(np.stack(out))
 
     def _prep_obs(self, x) -> Array:
         """Apply the embedding net to an observation (npe_pfn.py:272-274)."""
@@ -1156,9 +1260,11 @@ class NPEPFN:
           3. weight wᵢ ∝ K((‖(xᵢ−x_o)/sd_x‖)/ε), resample ``num_samples``.
 
         As ε → the simulator's intrinsic noise scale this converges to the
-        exact posterior restricted to the proposal's support — measured on
-        two_moons: C2ST 0.898 → 0.683 with P=8k, ε at the 2% distance
-        quantile. Cost: ``num_proposals`` extra simulator calls; report
+        exact posterior restricted to the proposal's support. Measured
+        budget-matched deltas live in ``scripts/refine_quality.py`` /
+        ``results/refine_quality.json`` (the committed probe before that
+        run: two_moons C2ST 0.898 amortized, results/probe_two_moons_v6mid
+        .json). Cost: ``num_proposals`` extra simulator calls; report
         budgets accordingly (this is NOT a free-quality knob — it trades
         simulations for precision, the same currency as TSNPE rounds).
 
@@ -1167,9 +1273,17 @@ class NPEPFN:
 
         importance_correct: also multiply weights by prior(θ)/q(θ) with q
         the AR log_prob, which makes the ε→0 limit exactly the ABC
-        posterior rather than q·K. Off by default: measured on two_moons
-        the correction is strictly worse at every ε (the AR density's own
-        error adds variance faster than the bias it removes).
+        posterior rather than q·K. Off by default: the AR density's own
+        error adds weight variance, and the proposal-as-is target (q·K)
+        is the quantity the harness scores (see
+        results/refine_quality.json for the measured comparison).
+
+        ``simulator`` must be a pure ``sim(key, theta) -> x``; if it is
+        jax-traceable it runs as one jitted vmap on device (the compiled
+        callable is cached per simulator object, so repeated calls don't
+        retrace); otherwise it silently falls back to a host-side Python
+        loop (numpy/scipy simulators work, like the reference's un-jitted
+        simulate_for_sbi, tsnpe_pfn.py:40-77 — just slower).
 
         Diagnostics land in ``self.last_refine_diagnostics`` (ess, eps,
         num_proposals).
@@ -1193,10 +1307,18 @@ class NPEPFN:
         if x_o.ndim == 2:
             x_o = x_o[0]
         sim_keys = jax.random.split(k_sim, num_proposals)
-        x_sim = jax.jit(jax.vmap(simulator))(sim_keys, proposals)
-        x_sim = jnp.asarray(x_sim, jnp.float32).reshape(num_proposals, -1)
+        x_sim = self._run_simulator(simulator, sim_keys, proposals)
+        x_sim = jnp.asarray(x_sim, jnp.float32)
         if self.embedding_net is not None:
+            # Mirror _prep_obs: shaped inputs (e.g. CNN embeddings for image
+            # tasks) must reach the embedding net in their declared x_shape,
+            # not flattened (round-4 advisor finding).
+            if self.x_shape is not None:
+                x_sim = x_sim.reshape(-1, *self.x_shape)
+            else:
+                x_sim = x_sim.reshape(num_proposals, -1)
             x_sim = jnp.asarray(self.embedding_net(x_sim))
+        x_sim = x_sim.reshape(num_proposals, -1)
         # z-scored distance in the same units the context filter uses
         sd_x = jnp.maximum(jnp.std(self._x_train, axis=0), 1e-6)
         d = jnp.linalg.norm((x_sim - x_o[None, :]) / sd_x, axis=-1)

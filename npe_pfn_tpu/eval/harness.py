@@ -47,8 +47,22 @@ def evaluate_task(
     results_path: Optional[str] = None,
     metric_subsample: int = 512,
     n_obs_eval: int = 8,
+    refine_num_proposals: int = 0,
+    refine_kwargs: Optional[dict] = None,
 ) -> Dict:
-    """Full grid evaluation; returns (and optionally checkpoints) results."""
+    """Full grid evaluation; returns (and optionally checkpoints) results.
+
+    ``refine_num_proposals > 0`` switches conditional-task posterior
+    sampling to the simulator-in-the-loop ABC-SIR mode
+    (``NPEPFN.sample_refined``): each observation's posterior costs
+    ``refine_num_proposals`` extra simulator calls, which the cell records
+    as ``sims_refine_per_obs`` next to the context budget so arms can be
+    budget-matched (N context + P refine vs N+P plain — the same currency
+    as TSNPE rounds, reference tsnpe_pfn.py:61). Only conditional tasks
+    (those with a ground-truth sampler) support it: the joint diagnostic
+    draws one θ per test observation, so per-observation refinement would
+    multiply the budget by num_test without a matched plain arm.
+    """
     estimator_kwargs = dict(estimator_kwargs or {})
     if "embedding_net" not in estimator_kwargs:
         # High-dimensional x (e.g. image tasks) exceeds the model's feature
@@ -99,10 +113,18 @@ def evaluate_task(
                 # analog; default 8 is the CI tier — the reference-scale
                 # protocol passes 16+).
                 n_obs = min(n_obs_eval, num_test)
-                c2sts, w2s, mmds = [], [], []
+                c2sts, w2s, mmds, esss = [], [], [], []
                 for j in range(n_obs):
                     kj = jax.random.fold_in(k_post, j)
-                    post = est.sample(num_posterior_samples, x_test[j], rng=kj)
+                    if refine_num_proposals:
+                        post = est.sample_refined(
+                            num_posterior_samples, x_test[j], task.simulator,
+                            rng=kj, num_proposals=refine_num_proposals,
+                            **(refine_kwargs or {}),
+                        )
+                        esss.append(est.last_refine_diagnostics["ess"])
+                    else:
+                        post = est.sample(num_posterior_samples, x_test[j], rng=kj)
                     if j not in gt_cache:
                         gt_cache[j] = task.posterior_sampler(
                             jax.random.fold_in(k_gt, j), x_test[j],
@@ -115,7 +137,17 @@ def evaluate_task(
                 cell["c2st"] = float(np.mean(c2sts))
                 cell["wasserstein"] = float(np.mean(w2s))
                 cell["mmd"] = float(np.mean(mmds))
+                if refine_num_proposals:
+                    cell["sims_refine_per_obs"] = int(refine_num_proposals)
+                    cell["sims_total_per_obs"] = int(num_cal + refine_num_proposals)
+                    cell["refine_ess_mean"] = float(np.mean(esss))
             else:
+                if refine_num_proposals:
+                    raise ValueError(
+                        f"task {task.name!r} has no ground-truth sampler: the "
+                        "joint diagnostic draws 1 θ per test obs, so refined "
+                        "sampling has no budget-matched plain arm there"
+                    )
                 # Joint diagnostic: one posterior draw per test obs; compare
                 # {(θ̂, x*)} against {(θ*, x*)} (evaluate_ropefm.py:648-710).
                 post = est.sample_batched(1, x_test, rng=k_post)[:, 0, :]

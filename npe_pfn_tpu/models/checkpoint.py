@@ -30,6 +30,10 @@ def save(path: str, model: TabICAModel) -> None:
     for key_path, leaf in flat:
         name = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in key_path)
         arrays[name] = np.asarray(leaf)
+    # Calibration temperature rides the npz under a reserved key (param
+    # paths always contain "/" so it can't collide); absent in pre-round-5
+    # checkpoints, which load as the uncalibrated τ=1.
+    arrays["__temperature__"] = np.asarray(model.temperature)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez_compressed(path, **arrays)
     with open(path + ".json", "w") as f:
@@ -41,14 +45,20 @@ def load(path: str) -> TabICAModel:
         cfg = TabICAConfig(**json.load(f))
     data = np.load(path)
     params: dict = {}
+    temperature = jnp.asarray(1.0)
     for name in data.files:
+        if name == "__temperature__":
+            temperature = jnp.asarray(data[name])
+            continue
         node = params
         parts = name.split("/")
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = jnp.asarray(data[name])
     return TabICAModel(
-        cfg=cfg, params=params, borders=bar.make_borders(cfg.num_bars, cfg.bar_range)
+        cfg=cfg, params=params,
+        borders=bar.make_borders(cfg.num_bars, cfg.bar_range),
+        temperature=temperature,
     )
 
 

@@ -34,11 +34,22 @@ _MIN_STD = 1e-6
 @flax.struct.dataclass
 class TabICAModel:
     """Bundle of (static config, trained params, bar borders). A pytree —
-    safe to close over or pass through jit/scan."""
+    safe to close over or pass through jit/scan.
+
+    ``temperature`` is a post-hoc calibration scalar (bar logits are divided
+    by it at prediction, so τ>1 widens every conditional, τ<1 sharpens):
+    one traced leaf fitted on held-out synthetic tasks by
+    scripts/fit_temperature.py and baked into the shipped checkpoint —
+    the principled single-knob fix for the SBC miscalibration measured in
+    results/round6/sbc_two_moons.log. 1.0 (the default and the value in
+    pre-round-5 checkpoints) is exactly the uncalibrated model. The
+    pretraining loss reads raw transformer logits, so τ never affects
+    training."""
 
     cfg: TabICAConfig = flax.struct.field(pytree_node=False)
     params: dict
     borders: jnp.ndarray
+    temperature: jnp.ndarray = 1.0
 
     @classmethod
     def create(cls, rng: jax.Array, cfg: TabICAConfig) -> "TabICAModel":
@@ -125,11 +136,13 @@ def fit_encode(
 def predict_logits(
     model: TabICAModel, fitted: FittedContext, x_qry: jnp.ndarray
 ) -> jnp.ndarray:
-    """Bar logits in *normalized* target space, [..., Q, num_bars]."""
+    """Bar logits in *normalized* target space, [..., Q, num_bars],
+    calibration-temperature applied (see TabICAModel.temperature)."""
     xq = normalize_x(fitted.stats, x_qry) * fitted.feat_mask[..., None, :]
-    return transformer.decode_queries(
+    logits = transformer.decode_queries(
         model.cfg, model.params, fitted.cache, xq, fitted.feat_mask, fitted.ctx_mask
     )
+    return logits / model.temperature
 
 
 def sample_y(

@@ -104,6 +104,32 @@ def quantile_inverse(qt: QuantileTransform, z: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def parse_transform(spec: str):
+    """Split a transform spec into (target_transform, feature_quantile).
+
+    The feature-side quantile transform (TabPFN's preprocessing ensemble
+    also transforms the INPUT features per member, SURVEY §2.4; the
+    target-only transform covers just the θ-dimension being sampled) rides
+    the same static string the kernels already thread — ``"zscore+featq"``
+    / ``"quantile+featq"`` — so the ~20 call sites and fused-sampler cache
+    keys need no signature change. Features are conditioning variables, so
+    no Jacobian is owed; queries go through the SAME context-fitted map.
+    """
+    if spec.endswith("+featq"):
+        return spec[: -len("+featq")], True
+    return spec, False
+
+
+def quantile_fit_cols(x: jnp.ndarray, mask: jnp.ndarray) -> QuantileTransform:
+    """Per-column fit: x [N, F], mask [N] → batched transform (leading F)."""
+    return jax.vmap(quantile_fit, in_axes=(1, None))(x, mask)
+
+
+def quantile_forward_cols(qts: QuantileTransform, x: jnp.ndarray) -> jnp.ndarray:
+    """Apply per-column maps: x [..., F] with qts batched over F."""
+    return jax.vmap(quantile_forward, in_axes=(0, -1), out_axes=-1)(qts, x)
+
+
 def quantile_log_det(qt: QuantileTransform, y: jnp.ndarray) -> jnp.ndarray:
     """log |dz/dθ| at θ=y — the change-of-variables term:
     log p_θ(θ) = log p_z(z(θ)) + quantile_log_det(qt, θ)."""

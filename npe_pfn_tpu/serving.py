@@ -37,12 +37,19 @@ def _precompute_dim_caches(
     target_transform: str = "zscore",
 ):
     """Encode the context once per θ-dimension; returns (FittedContext with
-    a leading dθ axis, per-dim QuantileTransforms or None)."""
+    a leading dθ axis, per-dim QuantileTransforms or None, per-column
+    feature QuantileTransforms or None — the "+featq" spec, estimator.py
+    autoregressive_sample)."""
+    target_transform, feat_q = preprocessing.parse_transform(target_transform)
     n, dth = theta_ctx.shape
     dx = x_ctx.shape[1]
     f = _eff_features(model, dx, dth)  # exact slice, see estimator.py
     xc = jnp.zeros((n, f), theta_ctx.dtype)
     xc = xc.at[:, :dx].set(x_ctx).at[:, dx : dx + dth].set(theta_ctx)
+    qts_f = None
+    if feat_q:
+        qts_f = preprocessing.quantile_fit_cols(xc, ctx_mask)
+        xc = preprocessing.quantile_forward_cols(qts_f, xc)
     col = jnp.arange(f)
     feat_masks = col[None, :] < (dx + jnp.arange(dth))[:, None]  # [dθ, F]
 
@@ -58,7 +65,7 @@ def _precompute_dim_caches(
     fitted = jax.vmap(
         lambda y, fm: regressor.fit_encode(model, xc, y, fm, ctx_mask)
     )(y_enc, feat_masks)
-    return fitted, qts
+    return fitted, qts, qts_f
 
 
 @partial(jax.jit, static_argnames=("qry_chunk", "dx", "target_transform"))
@@ -66,12 +73,14 @@ def _cached_sample(
     model: TabICAModel,
     caches: FittedContext,  # leaves stacked over dθ
     qts,  # per-dim QuantileTransforms (leading dθ axis) or None
+    qts_f,  # per-column feature QuantileTransforms or None ("+featq")
     x_qry: Array,  # [Q, dx]
     rng: jax.Array,
     qry_chunk: int,
     dx: int,
     target_transform: str = "zscore",
 ) -> Tuple[Array, Array]:
+    target_transform, feat_q = preprocessing.parse_transform(target_transform)
     dth = caches.stats.mu_y.shape[0]
     q = x_qry.shape[0]
     f = caches.feat_mask.shape[-1]  # width chosen at precompute
@@ -81,6 +90,8 @@ def _cached_sample(
         fitted = jax.tree_util.tree_map(lambda a: a[i], caches)
         xq = jnp.zeros((q, f), x_qry.dtype)
         xq = xq.at[:, :dx].set(x_qry).at[:, dx : dx + dth].set(theta_sm)
+        if feat_q:
+            xq = preprocessing.quantile_forward_cols(qts_f, xq)
         logits = jax.lax.map(
             lambda chunk: regressor.predict_logits(model, fitted, chunk),
             xq.reshape(q // qry_chunk, qry_chunk, f),
@@ -104,17 +115,21 @@ def _cached_log_prob(
     model: TabICAModel,
     caches: FittedContext,
     qts,
+    qts_f,
     x_qry: Array,
     theta_eval: Array,
     qry_chunk: int,
     dx: int,
     target_transform: str = "zscore",
 ) -> Array:
+    target_transform, feat_q = preprocessing.parse_transform(target_transform)
     dth = caches.stats.mu_y.shape[0]
     q = x_qry.shape[0]
     f = caches.feat_mask.shape[-1]  # width chosen at precompute
     xq = jnp.zeros((q, f), x_qry.dtype)
     xq = xq.at[:, :dx].set(x_qry).at[:, dx : dx + dth].set(theta_eval)
+    if feat_q:
+        xq = preprocessing.quantile_forward_cols(qts_f, xq)
     chunks = xq.reshape(q // qry_chunk, qry_chunk, f)
 
     def step(_, i):
@@ -150,7 +165,7 @@ class CachedPosterior:
         theta_ctx, x_ctx, ctx_mask = estimator.get_context(x, rng)
         self.dx = int(x_ctx.shape[1])
         self.dim_theta = int(theta_ctx.shape[1])
-        self.caches, self.qts = _precompute_dim_caches(
+        self.caches, self.qts, self.qts_f = _precompute_dim_caches(
             estimator.model, theta_ctx, x_ctx, ctx_mask,
             estimator.target_transform,
         )
@@ -166,8 +181,8 @@ class CachedPosterior:
         q = _round_up(num_samples, est.qry_chunk)
         x_qry = jnp.broadcast_to(self.x_o, (q, self.dx))
         theta, lp = _cached_sample(
-            est.model, self.caches, self.qts, x_qry, rng, est.qry_chunk,
-            self.dx, est.target_transform,
+            est.model, self.caches, self.qts, self.qts_f, x_qry, rng,
+            est.qry_chunk, self.dx, est.target_transform,
         )
         theta, lp = theta[:num_samples], lp[:num_samples]
         return (theta, lp) if return_log_probs else theta
@@ -182,7 +197,7 @@ class CachedPosterior:
             [theta, jnp.zeros((q - n, theta.shape[1]), theta.dtype)], axis=0
         )
         lp = _cached_log_prob(
-            est.model, self.caches, self.qts, x_qry, theta_pad, est.qry_chunk,
-            self.dx, est.target_transform,
+            est.model, self.caches, self.qts, self.qts_f, x_qry, theta_pad,
+            est.qry_chunk, self.dx, est.target_transform,
         )
         return lp[:n]

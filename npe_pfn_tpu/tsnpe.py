@@ -67,6 +67,10 @@ def run_tsnpe(
     simulation_batch_size: int = 8192,
     support_batch_size: int = 16_384,
     return_proposals: bool = False,
+    refine_final: int = 0,
+    refine_num_samples: int = 1000,
+    refine_kwargs: Optional[dict] = None,
+    collect_diagnostics: Optional[list] = None,
     **estimator_kwargs,
 ):
     """Sequential truncated NPE-PFN (tsnpe_pfn.py:14-119).
@@ -74,8 +78,21 @@ def run_tsnpe(
     Returns the fitted estimator (and optionally the per-round proposals).
     num_rounds=1 is plain NPE-PFN (tsnpe_pfn.py:56-58); the per-round budget
     is num_simulations // num_rounds (tsnpe_pfn.py:61).
+
+    ``refine_final > 0`` reserves that many simulations from
+    ``num_simulations`` for a final simulator-in-the-loop ABC-SIR pass
+    (``NPEPFN.sample_refined``): rounds then split the REMAINING budget, so
+    the total simulator-call count stays num_simulations — refinement is
+    budget-accounted in the same currency as rounds. The return value grows
+    a trailing ``samples [refine_num_samples, dθ]`` element.
+
+    ``collect_diagnostics``: pass a list to receive one dict per truncation
+    round with the PosteriorSupport acceptance rate / threshold / SIR ESS —
+    the instrumentation behind results/round7/tsnpe_rounds_diagnosis.md.
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
+    if refine_final >= num_simulations:
+        raise ValueError("refine_final must leave budget for rounds")
     observation = jnp.asarray(observation, jnp.float32)
     if estimator is None:
         estimator = NPEPFN(
@@ -85,7 +102,7 @@ def run_tsnpe(
             **estimator_kwargs,
         )
 
-    n_per_round = num_simulations // num_rounds
+    n_per_round = (num_simulations - refine_final) // num_rounds
     proposal: Distribution = prior
     proposals = [proposal]
     all_theta, all_x = [], []
@@ -118,7 +135,31 @@ def run_tsnpe(
             batch_size=support_batch_size,
         )
         proposals.append(proposal)
+        if collect_diagnostics is not None:
+            # Exercise one proposal draw so acceptance/ESS are measured on
+            # the object that will actually generate next round's θ.
+            rng, k_diag = jax.random.split(rng)
+            proposal.sample(k_diag, (min(1024, n_per_round),))
+            collect_diagnostics.append(
+                {
+                    "round": rnd + 1,
+                    "log_prob_threshold": proposal.log_prob_threshold,
+                    **{
+                        k: v
+                        for k, v in proposal.last_diagnostics.items()
+                        if isinstance(v, (int, float, bool))
+                    },
+                }
+            )
 
+    out = [estimator]
     if return_proposals:
-        return estimator, proposals
-    return estimator
+        out.append(proposals)
+    if refine_final > 0:
+        rng, k_ref = jax.random.split(rng)
+        samples = estimator.sample_refined(
+            refine_num_samples, observation, simulator, rng=k_ref,
+            num_proposals=refine_final, **(refine_kwargs or {}),
+        )
+        out.append(samples)
+    return out[0] if len(out) == 1 else tuple(out)

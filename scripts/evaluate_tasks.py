@@ -27,6 +27,13 @@ def main():
                    help="test observations averaged for conditional metrics")
     p.add_argument("--target_transform", default="zscore",
                    choices=["zscore", "quantile"])
+    p.add_argument("--feature_transform", default="none",
+                   choices=["none", "quantile"],
+                   help="TabPFN-style feature-side preprocessing member")
+    p.add_argument("--refine_proposals", type=int, default=0,
+                   help="simulator-in-the-loop ABC-SIR refinement budget per "
+                        "observation (conditional tasks only); 0 = amortized")
+    p.add_argument("--refine_eps_quantile", type=float, default=0.02)
     p.add_argument("--out", default="results")
     args = p.parse_args()
 
@@ -58,9 +65,12 @@ def main():
                     "filter_context_size": args.filter_context_size,
                     "qry_chunk": args.qry_chunk,
                     "target_transform": args.target_transform,
+                    "feature_transform": args.feature_transform,
                 },
                 results_path=path,
                 n_obs_eval=args.n_obs_eval,
+                refine_num_proposals=args.refine_proposals,
+                refine_kwargs={"eps_quantile": args.refine_eps_quantile},
             )
             summary = harness.summarize(results)
             with open(os.path.join(args.out, f"{task.name}.summary.json"), "w") as f:
