@@ -18,6 +18,22 @@
 # JSONL rows are directly comparable. Accept the v6 recipe iff the tiny
 # model now clearly beats the kNN baseline (frac_beats_knn >> 0.5) and
 # kl_excess drops well below the v5-regime 2.65.
+#
+# OUTCOME + gate reconciliation (round 5): the probe measured
+# frac_beats_knn 0.28 / kl_excess 1.79 (results/learnability_family_c.jsonl
+# row 3) — BELOW this script's strict bar — yet pretrain_v6.sh launched.
+# Rationale, recorded here because the recorded decision diverged from the
+# stated gate (ADVICE r4): (a) the v6 family-C knobs are strictly more
+# learnable than v5's (0.19→0.28, 2.65→1.79), so training on them is less
+# hedging-inducing than the incumbent recipe, not more; (b) the main v6
+# payload is the sym-fold inverse family at p_sym_fold=0.7 — the exact
+# two_moons/SLCP bimodality mechanism — which this family-C probe does not
+# measure and which carries no learnability caveat; (c) the served-config
+# checkpoint gate (scripts/select_checkpoint.py) remains the real arbiter,
+# and it confirmed the call: v6_best won at composite 0.2108 vs v5's 0.2387
+# (results/select_checkpoint.log). The strict bar stays as written for any
+# future family-C-only iteration: a recipe whose ONLY change is family-C
+# must pass it before burning chip time.
 set -u
 cd "$(dirname "$0")/.."
 STEPS=${STEPS:-2500}
