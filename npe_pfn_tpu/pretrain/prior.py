@@ -81,6 +81,19 @@ class PriorConfig:
                                       # component scales; -1.7 (~0.02z)
                                       # keeps thin modes resolvable from
                                       # ~500-row context neighborhoods
+    # v7 spike+slab knob (VERDICT r4 item 3): probability that a family-C
+    # task is a pure MARGINAL mixture — y independent of x (row-constant
+    # means and weights). The learnability rows show frac_beats_knn = 0.0
+    # on the canonical spike+slab even for a tiny model trained purely on
+    # family C (results/learnability_family_c.jsonl): with x-dependent mean
+    # and weight fields the model learns to attribute residual y-variation
+    # to x and hedges, so it never learns plain in-context density
+    # estimation. An x-independent branch removes that excuse. Within the
+    # branch the mean-collapse probability rises to 0.5, so thin+broad
+    # components at a SHARED mean — the exact spike+slab shape
+    # (gaussian_mixture's posterior, scripts/probe_family_c.py:266) —
+    # appear often. Default 0 reproduces the v5/v6 streams byte-for-byte.
+    p_marginal_mixture: float = 0.0
 
 
 @dataclasses.dataclass
@@ -163,6 +176,17 @@ def _family_c(rng: jax.Array, cfg: PriorConfig, xin: jnp.ndarray):
     use_xw = jax.random.bernoulli(kc[7], 0.5)
     wlog_g = jax.random.normal(kc[8], (K,))
     wlog = jnp.where(use_xw, wlog_x / temp, jnp.broadcast_to(wlog_g, wlog_x.shape))
+    if cfg.p_marginal_mixture > 0:
+        # Marginal-mixture branch: y ⊥ x. Row-constant component means at
+        # the same separation scale (collapsed to a shared mean with prob
+        # 0.5 — pure scale mixture / spike+slab) and row-constant weights.
+        km = jax.random.split(jax.random.fold_in(rng, 99), 3)
+        is_marg = jax.random.bernoulli(km[0], cfg.p_marginal_mixture)
+        mu_marg = jax.random.normal(km[1], (1, K)) * sep
+        collapse_m = jax.random.bernoulli(km[2], 0.5)
+        mu_marg = jnp.where(collapse_m, jnp.zeros_like(mu_marg), mu_marg)
+        mu = jnp.where(is_marg, jnp.broadcast_to(mu_marg, mu.shape), mu)
+        wlog = jnp.where(is_marg, jnp.broadcast_to(wlog_g, wlog.shape), wlog)
     wlog = jnp.where(comp_alive, wlog, -jnp.inf)
     k_comp, k_eps = jax.random.split(kc[9])
     comp = jax.random.categorical(k_comp, wlog, axis=-1)  # [R]

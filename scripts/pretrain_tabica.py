@@ -61,6 +61,10 @@ def main():
     p.add_argument("--mm_sig_lo", type=float, default=-2.5,
                    help="log10 lower bound of family-C component scales; "
                    "-1.7 keeps thin modes resolvable from ~500-row context")
+    p.add_argument("--p_marginal_mixture", type=float, default=0.0,
+                   help="fraction of family-C tasks that are pure marginal "
+                   "mixtures (y independent of x) — teaches spike+slab "
+                   "in-context density estimation (prior.py PriorConfig)")
     # Feature-count curriculum (see TrainConfig.feat_curriculum_steps)
     p.add_argument("--feat_curriculum_steps", type=int, default=0)
     p.add_argument("--feat_curriculum_init", type=int, default=8)
@@ -144,6 +148,7 @@ def main():
         max_mixture_components=args.max_mixture_components,
         mm_mu_input_scale=args.mm_mu_input_scale,
         mm_sig_lo=args.mm_sig_lo,
+        p_marginal_mixture=args.p_marginal_mixture,
     )
 
     import jax

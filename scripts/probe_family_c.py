@@ -61,6 +61,9 @@ def main():
                    "the learnable v6 regime, results/DIAGNOSIS.md)")
     p.add_argument("--mm_sig_lo", type=float, default=-2.5,
                    help="log10 sigma floor of the probe's family-C tasks")
+    p.add_argument("--p_marginal_mixture", type=float, default=0.0,
+                   help="probe family-C marginal-mixture share (match the "
+                   "training regime being scored)")
     p.add_argument("--out", default="results/probe_family_c.jsonl")
     args = p.parse_args()
 
@@ -222,6 +225,7 @@ def main():
     pcfg_c = dataclasses.replace(
         pcfg, mm_mu_input_scale=args.mm_mu_input_scale,
         mm_sig_lo=args.mm_sig_lo,
+        p_marginal_mixture=args.p_marginal_mixture,
     )
     for sec, n_act in (("family_c", n_active), ("family_c_2d", 2)):
         for t in range(args.num_tasks):
@@ -297,6 +301,7 @@ def main():
         "seed": args.seed,
         "mm_mu_input_scale": args.mm_mu_input_scale,
         "mm_sig_lo": args.mm_sig_lo,
+        "p_marginal_mixture": args.p_marginal_mixture,
         **{k: summarize(v) for k, v in results.items()},
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)

@@ -118,6 +118,37 @@ def test_family_c_emits_scale_mixtures():
     assert n_sm >= 6, f"only {n_sm}/64 tasks look like scale mixtures"
 
 
+def test_marginal_mixture_conditionals_are_x_independent():
+    """With p_marginal_mixture=1 every family-C task must have row-constant
+    means and weights (y ⊥ x) — the spike+slab density-estimation branch
+    (VERDICT r4 item 3). Half of them must collapse to a shared mean."""
+    cfg = _cfg(p_multimodal=1.0, p_marginal_mixture=1.0)
+    n_collapsed = 0
+    for t in range(32):
+        key = jax.random.fold_in(jax.random.PRNGKey(11), t)
+        R = cfg.num_ctx + cfg.num_qry
+        xin = jax.random.normal(jax.random.fold_in(key, 1), (R, cfg.num_features))
+        _, (mu, _, wlog) = prior._family_c(jax.random.fold_in(key, 2), cfg, xin)
+        mu, wlog = np.asarray(mu), np.asarray(wlog)
+        assert np.ptp(mu, axis=0).max() < 1e-6, "means vary across rows"
+        finite = np.isfinite(wlog[0])
+        assert np.ptp(wlog[:, finite], axis=0).max() < 1e-6, "weights vary across rows"
+        if np.ptp(mu[0]) < 1e-6:
+            n_collapsed += 1
+    assert 6 <= n_collapsed <= 26, f"collapse share off: {n_collapsed}/32"
+
+
+def test_marginal_mixture_off_reproduces_stream():
+    """p_marginal_mixture=0 must not perturb the v5/v6 key stream."""
+    a = prior.sample_tasks(jax.random.PRNGKey(7), 8, _cfg(p_multimodal=0.4, p_sym_fold=0.7))
+    b = prior.sample_tasks(
+        jax.random.PRNGKey(7), 8,
+        _cfg(p_multimodal=0.4, p_sym_fold=0.7, p_marginal_mixture=0.0),
+    )
+    for fa, fb in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
 def test_sym_fold_changes_inverse_tasks_only_when_enabled():
     """p_sym_fold must alter (some) inverse-family tasks but never family A
     outputs (the fold key rides ks[13], family B's simulator key)."""
