@@ -161,6 +161,11 @@ def main():
                     help="simulation pool the context filter draws from "
                     "(reference-realistic: >10k sims filtered per obs, "
                     "npe_pfn.py:721)")
+    ap.add_argument("--qry_chunk", type=int, default=2048,
+                    help="decode chunk rows. 2048 measured fastest at the "
+                    "shipped config (results/round8/profile_serve.jsonl: "
+                    "9,966/s vs 9,622 at 1024 and 8,209 at one 10,240-row "
+                    "chunk)")
     ap.add_argument("--roofline", action="store_true",
                     help="also emit an analytic speed-of-light estimate "
                     "for this config (see npe_pfn_tpu/utils/roofline.py) "
@@ -192,7 +197,7 @@ def main():
         prior=task.prior,
         filter_type="standardized_euclidean_filtering",
         filter_context_size=args.filter_context,
-        qry_chunk=1024,
+        qry_chunk=args.qry_chunk,
     )
     est.append_simulations(theta, x)
     x_o = x[0]

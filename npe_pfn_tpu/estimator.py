@@ -137,34 +137,87 @@ def autoregressive_sample(
     order = jnp.arange(dth) if dim_order is None else jnp.asarray(dim_order)
     prefix_masks = _order_prefix_masks(order, dx, f)
 
-    def step(theta_sm, inp):
-        oi, feat_mask, key = inp
-        y_raw = jnp.take(theta_ctx, oi, axis=1)
-        if target_transform == "quantile":
-            qt = preprocessing.quantile_fit(y_raw, ctx_mask)
-            y_ctx = preprocessing.quantile_forward(qt, y_raw)
-        else:
-            y_ctx = y_raw
-        fitted = regressor.fit_encode(model, xc, y_ctx, feat_mask, ctx_mask)
-        xq = jnp.zeros((q, f), x_qry.dtype)
-        xq = xq.at[:, :dx].set(x_qry).at[:, dx : dx + dth].set(theta_sm)
-        if feat_q:
-            xq = preprocessing.quantile_forward_cols(qts_f, xq)
-        logits = jax.lax.map(
-            lambda chunk: regressor.predict_logits(model, fitted, chunk),
-            xq.reshape(q // qry_chunk, qry_chunk, f),
-        ).reshape(q, -1)
-        th_i = regressor.sample_y(key, model, fitted, logits)
-        lp_i = regressor.log_prob_y(model, fitted, logits, th_i)
-        if target_transform == "quantile":
-            th_i = preprocessing.quantile_inverse(qt, th_i)
-            lp_i = lp_i + preprocessing.quantile_log_det(qt, th_i)
-        return theta_sm.at[:, oi].set(th_i), lp_i
+    def make_step(w):
+        """Scan body computing at feature width ``w`` <= f. Exact: columns
+        beyond the step's conditioning prefix are masked to zero keys /
+        zero cells, so slicing them off changes nothing
+        (tests/test_feature_slice.py pins masked == removed)."""
+        xc_w = xc[:, :w]
+
+        def step(theta_sm, inp):
+            oi, feat_mask, key = inp
+            y_raw = jnp.take(theta_ctx, oi, axis=1)
+            if target_transform == "quantile":
+                qt = preprocessing.quantile_fit(y_raw, ctx_mask)
+                y_ctx = preprocessing.quantile_forward(qt, y_raw)
+            else:
+                y_ctx = y_raw
+            fitted = regressor.fit_encode(
+                model, xc_w, y_ctx, feat_mask, ctx_mask
+            )
+            xq = jnp.zeros((q, w), x_qry.dtype)
+            xq = xq.at[:, :dx].set(x_qry)
+            nset = min(w - dx, dth)
+            if nset > 0:
+                xq = xq.at[:, dx : dx + nset].set(theta_sm[:, :nset])
+            if feat_q:
+                qts_w = jax.tree_util.tree_map(lambda a: a[:w], qts_f)
+                xq = preprocessing.quantile_forward_cols(qts_w, xq)
+            logits = jax.lax.map(
+                lambda chunk: regressor.predict_logits(model, fitted, chunk),
+                xq.reshape(q // qry_chunk, qry_chunk, w),
+            ).reshape(q, -1)
+            th_i = regressor.sample_y(key, model, fitted, logits)
+            lp_i = regressor.log_prob_y(model, fitted, logits, th_i)
+            if target_transform == "quantile":
+                th_i = preprocessing.quantile_inverse(qt, th_i)
+                lp_i = lp_i + preprocessing.quantile_log_det(qt, th_i)
+            return theta_sm.at[:, oi].set(th_i), lp_i
+
+        return step
 
     keys = jax.random.split(rng, dth)
     theta0 = jnp.zeros((q, dth), x_qry.dtype)
-    theta, lps = jax.lax.scan(step, theta0, (order, prefix_masks, keys))
-    return theta, jnp.sum(lps, axis=0)
+
+    # Prefix-width specialization (identity order only, where step i's
+    # conditioning set is statically the first dx+i columns): early AR
+    # steps run at a narrower padded width — at the bench shape
+    # (dx=dθ=10, f=24) steps 0-6 run at width 16 (T 17 vs 25 tokens),
+    # ~22% fewer decode/encode FLOPs overall, exactly (feature-slice
+    # invariance above). The scan splits into one lax.scan per distinct
+    # width; same keys, same per-step semantics. Passing an explicit
+    # ``feature_width`` keeps the single-scan trace (callers that share
+    # one trace across tasks rely on that, and tests use it as the exact
+    # reference); NPE_PFN_TPU_PREFIX_SLICE=0 also restores it.
+    widths = None
+    if (
+        dim_order is None
+        and feature_width is None
+        and os.environ.get("NPE_PFN_TPU_PREFIX_SLICE", "1") != "0"
+    ):
+        widths = [min(f, max(8, _round_up(max(dx + i, 1), 8))) for i in range(dth)]
+        if len(set(widths)) == 1:
+            widths = None
+    if widths is None:
+        theta, lps = jax.lax.scan(
+            make_step(f), theta0, (order, prefix_masks, keys)
+        )
+        return theta, jnp.sum(lps, axis=0)
+
+    theta_sm, lp_parts, i = theta0, [], 0
+    while i < dth:
+        j = i
+        while j < dth and widths[j] == widths[i]:
+            j += 1
+        w = widths[i]
+        theta_sm, lps = jax.lax.scan(
+            make_step(w),
+            theta_sm,
+            (order[i:j], prefix_masks[i:j, :w], keys[i:j]),
+        )
+        lp_parts.append(lps)
+        i = j
+    return theta_sm, jnp.sum(jnp.concatenate(lp_parts, axis=0), axis=0)
 
 
 @partial(jax.jit, static_argnames=("qry_chunk", "target_transform", "feature_width"))
@@ -203,28 +256,61 @@ def autoregressive_log_prob(
     order = jnp.arange(dth) if dim_order is None else jnp.asarray(dim_order)
     prefix_masks = _order_prefix_masks(order, dx, f)
 
-    def step(_, inp):
-        oi, feat_mask = inp
-        y_raw = jnp.take(theta_ctx, oi, axis=1)
-        th_i = jnp.take(theta_eval, oi, axis=1)
-        if target_transform == "quantile":
-            qt = preprocessing.quantile_fit(y_raw, ctx_mask)
-            y_ctx = preprocessing.quantile_forward(qt, y_raw)
-            th_eval_i = preprocessing.quantile_forward(qt, th_i)
-        else:
-            y_ctx, th_eval_i = y_raw, th_i
-        fitted = regressor.fit_encode(model, xc, y_ctx, feat_mask, ctx_mask)
-        logits = jax.lax.map(
-            lambda chunk: regressor.predict_logits(model, fitted, chunk),
-            xq_full.reshape(q // qry_chunk, qry_chunk, f),
-        ).reshape(q, -1)
-        lp_i = regressor.log_prob_y(model, fitted, logits, th_eval_i)
-        if target_transform == "quantile":
-            lp_i = lp_i + preprocessing.quantile_log_det(qt, th_i)
-        return None, lp_i
+    def make_step(w):
+        xc_w = xc[:, :w]
+        xq_w = xq_full[:, :w]
 
-    _, lps = jax.lax.scan(step, None, (order, prefix_masks))
-    return jnp.sum(lps, axis=0)
+        def step(_, inp):
+            oi, feat_mask = inp
+            y_raw = jnp.take(theta_ctx, oi, axis=1)
+            th_i = jnp.take(theta_eval, oi, axis=1)
+            if target_transform == "quantile":
+                qt = preprocessing.quantile_fit(y_raw, ctx_mask)
+                y_ctx = preprocessing.quantile_forward(qt, y_raw)
+                th_eval_i = preprocessing.quantile_forward(qt, th_i)
+            else:
+                y_ctx, th_eval_i = y_raw, th_i
+            fitted = regressor.fit_encode(
+                model, xc_w, y_ctx, feat_mask, ctx_mask
+            )
+            logits = jax.lax.map(
+                lambda chunk: regressor.predict_logits(model, fitted, chunk),
+                xq_w.reshape(q // qry_chunk, qry_chunk, w),
+            ).reshape(q, -1)
+            lp_i = regressor.log_prob_y(model, fitted, logits, th_eval_i)
+            if target_transform == "quantile":
+                lp_i = lp_i + preprocessing.quantile_log_det(qt, th_i)
+            return None, lp_i
+
+        return step
+
+    # Prefix-width specialization — same exactness argument and gating as
+    # autoregressive_sample above.
+    widths = None
+    if (
+        dim_order is None
+        and feature_width is None
+        and os.environ.get("NPE_PFN_TPU_PREFIX_SLICE", "1") != "0"
+    ):
+        widths = [min(f, max(8, _round_up(max(dx + i, 1), 8))) for i in range(dth)]
+        if len(set(widths)) == 1:
+            widths = None
+    if widths is None:
+        _, lps = jax.lax.scan(make_step(f), None, (order, prefix_masks))
+        return jnp.sum(lps, axis=0)
+
+    lp_parts, i = [], 0
+    while i < dth:
+        j = i
+        while j < dth and widths[j] == widths[i]:
+            j += 1
+        w = widths[i]
+        _, lps = jax.lax.scan(
+            make_step(w), None, (order[i:j], prefix_masks[i:j, :w])
+        )
+        lp_parts.append(lps)
+        i = j
+    return jnp.sum(jnp.concatenate(lp_parts, axis=0), axis=0)
 
 
 @partial(jax.jit, static_argnames=("qry_chunk", "target_transform", "feature_width"))

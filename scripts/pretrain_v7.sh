@@ -1,0 +1,50 @@
+#!/bin/bash
+# Round-5-final v7 pretraining: teach plain in-context DENSITY ESTIMATION
+# (spike+slab / marginal mixtures) on top of the v6 recipe.
+#
+# The family-C shape probe on every checkpoint so far scores
+# frac_beats_knn 0.0-0.03 on the canonical spike+slab (STATUS r4 #11,
+# results/learnability_family_c.jsonl): with x-DEPENDENT mean/weight
+# fields the model attributes residual y-variation to x and hedges — it
+# never learns that sometimes y just has a two-scale mixture marginal.
+# gaussian_mixture's posterior IS that shape (C2ST plateau 0.72-0.73 at
+# every calibration budget, results/round6/gaussian_mixture.summary.json).
+#
+# v7 changes only one data knob vs v6:
+#   --p_marginal_mixture 0.5   half of family-C tasks become pure marginal
+#                              mixtures (y independent of x, row-constant
+#                              means/weights; shared-mean collapse prob 0.5
+#                              inside the branch -> spike+slab shapes)
+#
+# GATE BEFORE LAUNCH (VERDICT r4 item 3): scripts/learnability_family_c_v7.sh
+# must measure frac_beats_knn > 0.5 on family_c AND family_c_2d AND
+# spike_slab (results/learnability_family_c.jsonl). Do not launch past a
+# failing gate (the v6 exception is documented in
+# scripts/learnability_family_c_v6.sh; it does not repeat).
+#
+# Warm start from the round-5 gate winner (tabica_v6_best); fresh Adam +
+# fresh cosine, same peak lr as the v5->v6 fine-tune (data changed).
+# Row-pooling stays off: the measured saving is ~4% at this shape
+# (results/train_step_pool_ab.json) — not worth a from-scratch retrain.
+set -u
+cd "$(dirname "$0")/.."
+TOTAL_SECS=${TOTAL_SECS:-10800} STALL_SECS=${STALL_SECS:-420} exec scripts/pretrain_watchdog.sh \
+    --ckpt_every 500 \
+    --ckpt checkpoints/tabica_v7.npz \
+    --log checkpoints/train_log_v7.jsonl \
+    --init_from checkpoints/tabica_v6_best.npz \
+    --max_steps ${MAX_STEPS:-24000} \
+    --num_datasets 8 \
+    --num_bars 1024 \
+    --num_ctx 768 \
+    --d_model 256 \
+    --num_heads 2 \
+    --num_layers 8 \
+    --lr 1.5e-4 \
+    --warmup_steps 1000 \
+    --scores_dtype bfloat16 \
+    --p_heteroscedastic 0.3 --p_heavy_tail 0.2 --p_categorical_feats 0.2 \
+    --p_multimodal 0.3 --p_sym_fold 0.7 \
+    --mm_mu_input_scale 0.3 --mm_sig_lo -1.7 \
+    --p_marginal_mixture 0.5 \
+    "$@"

@@ -103,3 +103,43 @@ def test_public_api_unchanged_distribution(setup):
     assert np.isfinite(np.asarray(s)).all() and s.shape == (64, 3)
     lp = est.log_prob(s, x=x[0])
     assert np.isfinite(np.asarray(lp)).all()
+
+
+@pytest.mark.parametrize("transform", ["zscore", "zscore+featq", "quantile"])
+def test_prefix_width_scan_exact_vs_single_scan(transform):
+    """The prefix-width-specialized scan (identity order, feature_width
+    None, multiple distinct per-step widths) must equal the single
+    full-width scan exactly: same keys, masked == removed columns
+    (serving-perf lever, results/round8/profile_serve.jsonl)."""
+    cfg = TabICAConfig(
+        d_model=32, num_heads=2, num_layers=2, max_features=32,
+        num_bars=32, dtype="float32",
+    )
+    model = TabICAModel.create(jax.random.PRNGKey(0), cfg)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    dth, dx = 10, 10  # widths 16 (steps 0-6) then 24 (steps 7-9)
+    theta = jax.random.normal(k1, (96, dth))
+    x = theta @ jax.random.normal(jax.random.PRNGKey(2), (dth, dx)) / 3 \
+        + 0.1 * jax.random.normal(k2, (96, dx))
+    ctx_mask = jnp.ones((96,), bool)
+    xq = jnp.tile(x[:1], (64, 1))
+    kw = dict(qry_chunk=64, target_transform=transform)
+    s_seg, lp_seg = estimator.autoregressive_sample(
+        model, theta, x, ctx_mask, xq, jax.random.PRNGKey(3), **kw
+    )
+    s_one, lp_one = estimator.autoregressive_sample(
+        model, theta, x, ctx_mask, xq, jax.random.PRNGKey(3),
+        feature_width=24, **kw
+    )
+    np.testing.assert_allclose(np.asarray(s_seg), np.asarray(s_one),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lp_seg), np.asarray(lp_one),
+                               rtol=1e-4, atol=1e-4)
+    a = estimator.autoregressive_log_prob(
+        model, theta, x, ctx_mask, xq, s_one, **kw
+    )
+    b = estimator.autoregressive_log_prob(
+        model, theta, x, ctx_mask, xq, s_one, feature_width=24, **kw
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-4)
