@@ -58,8 +58,11 @@ mkdir -p results/round8
 echo "[queue] incumbent: $INCUMBENT; candidates: tabica_v7_best.npz, tabica_v7.npz, tabica_v7_swa.npz"
 
 # 1. Bundles for the v7 candidates, then the served-config quality gate
-#    against the incumbent's committed bundle. Idempotent per candidate.
-SELECT_ARGS=("results/tpu_eval.json=$INCUMBENT")
+#    against the incumbent's bundle — preferring the one re-measured on
+#    the prefix-sliced kernel (same code state as the candidates).
+INC_BUNDLE=results/tpu_eval.json
+[ -f results/tpu_eval_v6best_sliced.json ] && INC_BUNDLE=results/tpu_eval_v6best_sliced.json
+SELECT_ARGS=("$INC_BUNDLE=$INCUMBENT")
 for spec in best:tabica_v7_best.npz:results/tpu_eval_v7best.json:/tmp/bundle_v7b.log \
             final:tabica_v7.npz:results/tpu_eval_v7final.json:/tmp/bundle_v7f.log \
             swa:tabica_v7_swa.npz:results/tpu_eval_v7swa.json:/tmp/bundle_v7s.log; do
@@ -87,15 +90,29 @@ esac
 echo "[queue] running remaining stages on winner: $WINNER"
 commit_results "TPU bundles for v7 candidates + quality-gate selection (final round)"
 
-# 2. CPU shape probe on the winner in the v7 task regime: did the
-#    marginal-mixture data fix the spike_slab density-estimation deficit?
-JAX_PLATFORMS=cpu timeout 2400 python scripts/probe_family_c.py \
-    --ckpt "checkpoints/$WINNER" --num_tasks 16 --ctx 512 \
-    --mm_mu_input_scale 0.3 --mm_sig_lo -1.7 --p_marginal_mixture 0.5 \
-    --out results/round8/probe_winner_shapes.jsonl || true
+# 2. CPU shape probe on the winner in the v7 task regime (did the
+#    marginal-mixture data fix the spike_slab deficit?) — backgrounded on
+#    CPU so the TPU benches below run concurrently.
+(
+    JAX_PLATFORMS=cpu timeout 3000 nice -5 python scripts/probe_family_c.py \
+        --ckpt "checkpoints/$WINNER" --num_tasks 16 --ctx 512 \
+        --mm_mu_input_scale 0.3 --mm_sig_lo -1.7 --p_marginal_mixture 0.5 \
+        --out results/round8/probe_winner_shapes.jsonl || true
+) > /tmp/probe_winner.log 2>&1 &
+PROBE_PID=$!
+
+# 3. Headline bench on the winner at the shipped config (+roofline) and
+#    the 512 continuity point (both on the prefix-sliced kernel).
+timeout 3600 python bench.py --roofline --out results/bench_round8_final.json
+commit_results "Final headline bench at the shipped 2048-row context (+roofline)"
+timeout 2400 python bench.py --filter_context 512 --num_sims 1000 \
+    --out results/bench_round8_ctx512.json
+commit_results "Final continuity bench at 512-row context"
+
+wait "$PROBE_PID" 2>/dev/null || true
 commit_results "Family-C/spike-slab shape probe on the final gate winner"
 
-# 3. Quality deltas at the data-rich end on the multimodal target tasks
+# 4. Quality deltas at the data-rich end on the multimodal target tasks
 #    (gaussian_mixture is the spike+slab payoff task; 1000-cal cells).
 bash scripts/run_with_watchdog.sh /tmp/grid8.log 1800 10800 -- \
     python scripts/evaluate_tasks.py \
@@ -104,14 +121,6 @@ bash scripts/run_with_watchdog.sh /tmp/grid8.log 1800 10800 -- \
     --num_test 2000 --num_posterior_samples 1024 --n_obs_eval 16 \
     --out results/round8 || true
 commit_results "Final-round multimodal quality cells (1000-cal) on the winner"
-
-# 4. Headline bench on the winner at the shipped config (+roofline) and
-#    the 512 continuity point (both on the prefix-sliced kernel).
-timeout 3600 python bench.py --roofline --out results/bench_round8_final.json
-commit_results "Final headline bench at the shipped 2048-row context (+roofline)"
-timeout 2400 python bench.py --filter_context 512 --num_sims 1000 \
-    --out results/bench_round8_ctx512.json
-commit_results "Final continuity bench at 512-row context"
 
 # 5. Rebuild the demo iff the DEFAULT flipped, then summary/plots.
 if [ "$WINNER" != "$INCUMBENT" ]; then
